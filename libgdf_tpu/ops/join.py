@@ -1,0 +1,316 @@
+"""Joins: inner / left / full (outer), single- or multi-column keys.
+
+≅ reference:
+  - C API gdf_inner_join / gdf_left_join / gdf_full_join
+    (libgdf/src/join/joining.cu:571-653) returning left/right index columns;
+  - hash join core: build-side multimap + probe kernel with warp-cooperative
+    output caching and an estimate/retry sizing loop
+    (src/join/hash/join_compute_api.h:341-551, join_kernels.cuh:259-455);
+  - sort-merge join: mgpu sorted_search lower/upper bounds + scan + emit
+    (src/join/sort/sort-join.cuh:48-246);
+  - FULL = LEFT + append_full_join_indices (join_compute_api.h:54-186);
+  - result materialization construct_join_output_df (joining.cu:375-479).
+
+TPU design — sort + vectorized binary search (the reference's own SORT path
+generalized, replacing its HASH path entirely):
+
+  A multimap with atomicCAS probing is the wrong shape for a VPU (8x128
+  lanes hate pointer-chasing). Instead:
+    1. the build side is sorted once by its (normalized) key columns;
+    2. one **vectorized lexicographic binary search** finds, for every probe
+       row simultaneously, the [lower, upper) range of matching build rows —
+       ~log2(n) rounds of gathers, all lanes advancing in lockstep (the
+       direct analogue of mgpu::sorted_search, sort-join.cuh:48-66);
+    3. match counts = upper - lower; an exclusive scan assigns output
+       offsets (≅ scan_join_bounds, sort-join.cuh:68+);
+    4. the emit pass inverts the offsets with one searchsorted: output slot
+       j belongs to probe row i = bucket of j in offsets, match rank
+       j - offsets[i]. Deterministic, no atomics, no retry loop — the
+       estimate/resample/double dance of join_compute_api.h:204-321/459-505
+       is replaced by an exact count pass.
+
+  Null semantics match the reference exactly: rows with a NULL in any key
+  column never match (NULL != NULL, gdf_table.cuh:588-591); LEFT emits
+  right_index = -1 for unmatched, FULL additionally emits (-1, r) for
+  unmatched build rows. Unlike the reference there is no int32 output-size
+  ceiling per se (joining.cu:32-35) — capacity is whatever fits in HBM.
+
+  Float keys: -0.0 is canonicalized to +0.0 (C's == treats them equal) and
+  NaN keys never match (C's NaN != NaN). Multi-column keys need no
+  hash-verify step — the lexicographic search is exact.
+
+Output sizing: `out_capacity` (static) + returned count. Eagerly (outside
+jit), capacity=None runs the count pass first and allocates exactly — the
+deterministic version of the reference's estimate+retry.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bitmask import mask_and
+from ..core.column import Column
+from ..core.errors import GDFStatus, require
+from ..core.table import Table
+from .sort import radix_encode
+
+# ---------------------------------------------------------------------------
+# Key normalization
+# ---------------------------------------------------------------------------
+
+
+def _join_keys(table: Table, names: Sequence[str]):
+    """Return (encoded key arrays [uint], no_match bool[n]).
+
+    no_match marks rows that can never participate: NULL key (in any key
+    column), NaN float key, or dead row (capacity+count padding)."""
+    keys, no_match = [], None
+    for name in names:
+        col = table.column(name)
+        data = col.data
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            no_match = mask_or(no_match, jnp.isnan(data))
+            data = jnp.where(data == 0, jnp.zeros_like(data), data)  # -0.0
+        keys.append(radix_encode(data, ascending=True))
+        if col.valid is not None:
+            no_match = mask_or(no_match, jnp.logical_not(col.valid))
+    if table.num_rows is not None:
+        no_match = mask_or(no_match, jnp.logical_not(table.live_mask()))
+    return keys, no_match
+
+
+def mask_or(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_or(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized lexicographic binary search
+# ---------------------------------------------------------------------------
+
+
+def lex_searchsorted(sorted_keys, query_keys, side: str) -> jax.Array:
+    """For each query row, the insertion point into the lexicographically
+    sorted multi-key arrays. All queries advance in lockstep: log2(n)
+    rounds, each one gather + compare per key column (VPU-friendly — the
+    TPU analogue of mgpu sorted_search, sort-join.cuh:48-66)."""
+    n = sorted_keys[0].shape[0]
+    m = query_keys[0].shape[0]
+    steps = max(1, (n + 1).bit_length())
+    le = side == "right"  # advance on equality for upper bound
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        # lexicographic compare: sorted[mid] (<|<=) query
+        lt = jnp.zeros((m,), jnp.bool_)
+        eq = jnp.ones((m,), jnp.bool_)
+        for s, q in zip(sorted_keys, query_keys):
+            sv = jnp.take(s, mid, mode="clip")
+            lt = jnp.logical_or(lt, jnp.logical_and(eq, sv < q))
+            eq = jnp.logical_and(eq, sv == q)
+        go_right = jnp.logical_or(lt, eq) if le else lt
+        go_right = jnp.logical_and(go_right, lo < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(jnp.logical_or(go_right, lo >= hi), hi, mid)
+        return lo, hi
+
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.full((m,), n, jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+# ---------------------------------------------------------------------------
+# Join core
+# ---------------------------------------------------------------------------
+
+
+def _match_ranges(probe: Table, probe_on, build: Table, build_on):
+    """Sort the build side, search every probe row. Returns
+    (build_perm, lower, upper) with upper==lower for no-match rows."""
+    require(len(probe_on) == len(build_on) and len(probe_on) > 0,
+            GDFStatus.GDF_JOIN_DTYPE_MISMATCH, "key column count mismatch")
+    for a, b in zip(probe_on, build_on):
+        require(probe.column(a).info.gdf_dtype ==
+                build.column(b).info.gdf_dtype,
+                GDFStatus.GDF_JOIN_DTYPE_MISMATCH,
+                f"join key dtype mismatch {a}/{b}")
+    bkeys, b_nomatch = _join_keys(build, build_on)
+    pkeys, p_nomatch = _join_keys(probe, probe_on)
+    nb = build.capacity
+
+    # Sort build rows by (participates, keys...): no-match rows to the end,
+    # outside every searchable range.
+    bflag = (jnp.zeros((nb,), jnp.uint8) if b_nomatch is None
+             else b_nomatch.astype(jnp.uint8))
+    iota = jnp.arange(nb, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(tuple([bflag] + bkeys + [iota]),
+                              num_keys=1 + len(bkeys), is_stable=True)
+    sorted_flag = sorted_ops[0]
+    sorted_keys = list(sorted_ops[1:-1])
+    build_perm = sorted_ops[-1]
+
+    qflag = jnp.zeros((probe.capacity,), jnp.uint8)
+    lower = lex_searchsorted([sorted_flag] + sorted_keys,
+                             [qflag] + pkeys, side="left")
+    upper = lex_searchsorted([sorted_flag] + sorted_keys,
+                             [qflag] + pkeys, side="right")
+    if p_nomatch is not None:
+        upper = jnp.where(p_nomatch, lower, upper)
+    return build_perm, lower, upper, p_nomatch
+
+
+def join_indices(left: Table, right: Table, left_on: Sequence[str],
+                 right_on: Sequence[str], how: str = "inner",
+                 out_capacity: int | None = None):
+    """Compute join index columns.
+
+    Returns (left_idx: int32[cap], right_idx: int32[cap], count) where
+    -1 marks the unmatched side of an outer row — exactly the reference's
+    output convention (joining.cu:375-479 gathers with range_check on -1).
+
+    ≅ gdf_inner_join / gdf_left_join / gdf_full_join (joining.cu:571-653).
+    The build side is always `right` (≅ join_hash builds on right,
+    joining.h:47-76; the reference flips inner joins to build on the
+    smaller side — here the sort cost is symmetric and flipping is the
+    caller's planner decision, see parallel/distributed.py)."""
+    require(how in ("inner", "left", "full"),
+            GDFStatus.GDF_UNSUPPORTED_JOIN_TYPE, how)
+
+    right_perm, lower, upper, p_nomatch = _match_ranges(
+        left, left_on, right, right_on)
+    counts = upper - lower                       # matches per left row
+    if how in ("left", "full"):
+        # unmatched live left rows still emit one output row
+        live = (jnp.ones((left.capacity,), jnp.bool_)
+                if left.num_rows is None else left.live_mask())
+        emit = jnp.where(jnp.logical_and(counts == 0, live), 1, counts)
+    else:
+        emit = counts
+    offsets = jnp.cumsum(emit, dtype=jnp.int32) - emit   # exclusive scan
+    total_lr = offsets[-1] + emit[-1] if left.capacity > 0 else jnp.int32(0)
+
+    if how == "full":
+        # unmatched build rows appended (≅ append_full_join_indices,
+        # join_compute_api.h:54-186): right row r is unmatched iff no
+        # live, matchable left row hits it.
+        left_perm, r_lower, r_upper, _ = _match_ranges(
+            right, right_on, left, left_on)
+        r_unmatched = r_upper == r_lower
+        if right.num_rows is not None:
+            r_unmatched = jnp.logical_and(r_unmatched, right.live_mask())
+        n_unmatched = jnp.sum(r_unmatched, dtype=jnp.int32)
+        total = total_lr + n_unmatched
+    else:
+        total = total_lr
+
+    if out_capacity is None:
+        try:
+            out_capacity = int(total)   # eager: exact allocation
+        except jax.errors.ConcretizationTypeError:
+            raise ValueError(
+                "join under jit requires a static out_capacity") from None
+    cap = int(out_capacity)
+
+    # Emit pass: slot j → left row i, match rank j - offsets[i].
+    j = jnp.arange(cap, dtype=jnp.int32)
+    i = (jnp.searchsorted(offsets, j, side="right") - 1).astype(jnp.int32)
+    i = jnp.clip(i, 0, max(left.capacity - 1, 0))
+    rank = j - jnp.take(offsets, i)
+    lo_i = jnp.take(lower, i)
+    cnt_i = jnp.take(upper, i) - lo_i
+    matched = rank < cnt_i
+    r_sorted_pos = jnp.clip(lo_i + rank, 0, max(right.capacity - 1, 0))
+    right_idx = jnp.where(matched, jnp.take(right_perm, r_sorted_pos), -1)
+    left_idx = i
+    slot_live = j < total_lr
+
+    if how == "full":
+        # Tail region [total_lr, total): (-1, unmatched right rows).
+        from .compaction import compaction_indices
+        um_rows, _ = compaction_indices(r_unmatched)
+        tail_rank = j - total_lr
+        in_tail = jnp.logical_and(j >= total_lr, j < total)
+        tail_right = jnp.take(um_rows,
+                              jnp.clip(tail_rank, 0,
+                                       max(right.capacity - 1, 0)))
+        right_idx = jnp.where(in_tail, tail_right, right_idx)
+        left_idx = jnp.where(in_tail, -1, left_idx)
+        slot_live = jnp.logical_or(slot_live, in_tail)
+
+    left_idx = jnp.where(slot_live, left_idx, -1)
+    right_idx = jnp.where(slot_live, right_idx, -1)
+    return left_idx, right_idx, total
+
+
+def join(left: Table, right: Table, left_on: Sequence[str],
+         right_on: Sequence[str], how: str = "inner",
+         out_capacity: int | None = None,
+         suffixes=("_x", "_y")) -> Table:
+    """Materialized join result.
+
+    ≅ construct_join_output_df (joining.cu:375-479): key columns come from
+    the left side (right side for FULL-join rows with no left match);
+    non-key columns of both tables are gathered by the index columns, with
+    -1 indices producing NULLs."""
+    l_idx, r_idx, count = join_indices(left, right, left_on, right_on,
+                                       how, out_capacity)
+    cols = []
+    # Join key columns: left values, patched from right where left is -1.
+    for lname, rname in zip(left_on, right_on):
+        lcol = left.column(lname)
+        lc = _gather_col(lcol, l_idx)
+        if how == "full":
+            rc = _gather_col(right.column(rname), r_idx)
+            data = jnp.where(l_idx >= 0, lc.data, rc.data)
+            lv = _gather_valid(lcol, l_idx)
+            rv = _gather_valid(right.column(rname), r_idx)
+            valid = jnp.where(l_idx >= 0, lv, rv)
+            lc = Column(data=data, valid=valid, info=lcol.info, name=lname)
+        cols.append(lc.with_name(lname))
+    taken = {n for n in left_on}
+    for name in left.names:
+        if name in taken:
+            continue
+        cols.append(_gather_col(left.column(name), l_idx).with_name(
+            name if name not in right.names else name + suffixes[0]))
+    for name in right.names:
+        if name in right_on:
+            continue
+        cols.append(_gather_col(right.column(name), r_idx).with_name(
+            name if name not in left.names else name + suffixes[1]))
+    return Table.from_columns(cols, num_rows=count)
+
+
+def _gather_valid(col: Column, idx):
+    ok = idx >= 0
+    if col.valid is None:
+        return ok
+    return jnp.logical_and(ok, jnp.take(col.valid, idx, mode="clip"))
+
+
+def _gather_col(col: Column, idx) -> Column:
+    data = jnp.take(col.data, jnp.clip(idx, 0, None), mode="clip")
+    return Column(data=data, valid=_gather_valid(col, idx),
+                  info=col.info, name=col.name)
+
+
+def inner_join(left, right, left_on, right_on, **kw):
+    """≅ gdf_inner_join (joining.cu:599-625)."""
+    return join_indices(left, right, left_on, right_on, "inner", **kw)
+
+
+def left_join(left, right, left_on, right_on, **kw):
+    """≅ gdf_left_join (joining.cu:571-597)."""
+    return join_indices(left, right, left_on, right_on, "left", **kw)
+
+
+def full_join(left, right, left_on, right_on, **kw):
+    """≅ gdf_full_join (joining.cu:627-653)."""
+    return join_indices(left, right, left_on, right_on, "full", **kw)

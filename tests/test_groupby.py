@@ -1,0 +1,170 @@
+"""Groupby tests vs pandas oracles.
+
+≅ reference tests/groupby/groupby-test.cu:228-441: host std::map oracle,
+with the contention stress regimes (AllKeysSame / AllKeysDifferent /
+WarpKeysSame / BlockKeysSame) — irrelevant to a segment reduction but kept
+as shape coverage."""
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from libgdf_tpu import Table, ops
+
+
+def _oracle(keys_df, vals, op):
+    df = keys_df.copy()
+    df["v"] = vals
+    g = df.groupby(list(keys_df.columns), sort=True)["v"]
+    return getattr(g, {"avg": "mean"}.get(op, op))()
+
+
+@pytest.mark.parametrize("op", ["sum", "min", "max", "avg", "count"])
+def test_groupby_single_key(op, rng):
+    n = 1000
+    keys = rng.integers(0, 37, n).astype(np.int64)
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    t = Table.from_dict({"k": keys, "v": vals})
+    out = ops.groupby(t, ["k"], [("v", op, "agg")]).compact()
+    expect = _oracle(pd.DataFrame({"k": keys}), vals, op)
+    got_k = np.asarray(out["k"].data)
+    got_v = np.asarray(out["agg"].data)
+    np.testing.assert_array_equal(got_k, expect.index.to_numpy())
+    if op == "avg":
+        np.testing.assert_allclose(got_v, expect.to_numpy(), rtol=1e-12)
+    else:
+        np.testing.assert_array_equal(got_v, expect.to_numpy())
+
+
+@pytest.mark.parametrize("regime", ["all_same", "all_different", "warp",
+                                    "block"])
+def test_groupby_contention_regimes(regime, rng):
+    """≅ groupby-test.cu:369-441 key-distribution stress shapes."""
+    n = 4096
+    if regime == "all_same":
+        keys = np.zeros(n, np.int64)
+    elif regime == "all_different":
+        keys = np.arange(n, dtype=np.int64)
+    elif regime == "warp":
+        keys = (np.arange(n) // 32).astype(np.int64)
+    else:
+        keys = (np.arange(n) // 256).astype(np.int64)
+    vals = rng.integers(0, 10, n).astype(np.int64)
+    t = Table.from_dict({"k": keys, "v": vals})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s")]).compact()
+    expect = _oracle(pd.DataFrame({"k": keys}), vals, "sum")
+    np.testing.assert_array_equal(np.asarray(out["s"].data),
+                                  expect.to_numpy())
+
+
+def test_groupby_multi_key_multi_agg(rng):
+    n = 800
+    k1 = rng.integers(0, 5, n).astype(np.int32)
+    k2 = rng.integers(0, 7, n).astype(np.int64)
+    v = rng.standard_normal(n).astype(np.float64)
+    t = Table.from_dict({"k1": k1, "k2": k2, "v": v})
+    out = ops.groupby(t, ["k1", "k2"],
+                      [("v", "sum", "s"), ("v", "min", "lo"),
+                       ("v", "max", "hi"), ("v", "count", "n")]).compact()
+    df = pd.DataFrame({"k1": k1, "k2": k2, "v": v})
+    g = df.groupby(["k1", "k2"], sort=True)["v"]
+    np.testing.assert_allclose(np.asarray(out["s"].data),
+                               g.sum().to_numpy(), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out["lo"].data),
+                                  g.min().to_numpy())
+    np.testing.assert_array_equal(np.asarray(out["hi"].data),
+                                  g.max().to_numpy())
+    np.testing.assert_array_equal(np.asarray(out["n"].data),
+                                  g.count().to_numpy())
+
+
+def test_groupby_dropna_and_null_aggs(rng):
+    n = 500
+    keys = rng.integers(0, 10, n).astype(np.int64)
+    knull = rng.random(n) < 0.2
+    vals = rng.standard_normal(n).astype(np.float64)
+    vnull = rng.random(n) < 0.3
+    t = Table.from_dict({"k": keys, "v": vals},
+                        nulls={"k": knull, "v": vnull})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s"), ("v", "count", "n"),
+                                 ("v", "avg", "m")]).compact()
+    df = pd.DataFrame({"k": np.where(knull, np.nan, keys),
+                       "v": np.where(vnull, np.nan, vals)})
+    g = df.groupby("k", sort=True)["v"]
+    np.testing.assert_allclose(np.asarray(out["s"].data),
+                               g.sum().to_numpy(), rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(out["n"].data),
+                                  g.count().to_numpy())
+    m_vals, m_null = out["m"].to_numpy_masked()
+    expect_mean = g.mean().to_numpy()
+    has = ~np.isnan(expect_mean)
+    np.testing.assert_allclose(m_vals[has], expect_mean[has], rtol=1e-12)
+    np.testing.assert_array_equal(m_null, ~has)
+
+
+def test_groupby_keep_nulls_each_own_group(rng):
+    """dropna=False: NULL != NULL ⇒ every null-key row is its own group
+    (the semantics gdf_table::rows_equal implies, gdf_table.cuh:588-591)."""
+    keys = np.asarray([1, 1, 2, 3], np.int64)
+    knull = np.asarray([False, False, True, True])
+    vals = np.asarray([10, 20, 30, 40], np.int64)
+    t = Table.from_dict({"k": keys, "v": vals}, nulls={"k": knull})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s")], dropna=False).compact()
+    assert out.capacity == 3  # {1}, {null@2}, {null@3}
+    s = sorted(np.asarray(out["s"].data).tolist())
+    assert s == [30, 30, 40]
+
+
+def test_count_distinct(rng):
+    keys = rng.integers(0, 23, 500).astype(np.int32)
+    t = Table.from_dict({"k": keys})
+    assert int(ops.count_distinct_keys(t, ["k"])) == len(np.unique(keys))
+
+
+def test_groupby_respects_num_rows(rng):
+    """Groupby on a filtered (capacity+count) table."""
+    keys = np.asarray([0, 0, 1, 1, 2, 2], np.int64)
+    vals = np.asarray([1, 2, 3, 4, 5, 6], np.int64)
+    t = Table.from_dict({"k": keys, "v": vals})
+    t = ops.filter_table(t, ops.compare_scalar(t["v"], 5, "lt"))
+    out = ops.groupby(t, ["k"], [("v", "sum", "s")]).compact()
+    np.testing.assert_array_equal(np.asarray(out["k"].data), [0, 1])
+    np.testing.assert_array_equal(np.asarray(out["s"].data), [3, 7])
+
+
+def test_groupby_under_jit(rng):
+    keys = rng.integers(0, 8, 256).astype(np.int64)
+    vals = rng.integers(0, 50, 256).astype(np.int64)
+    t = Table.from_dict({"k": keys, "v": vals})
+
+    @jax.jit
+    def f(t):
+        return ops.groupby(t, ["k"], [("v", "sum", "s")])
+
+    out = f(t).compact()
+    expect = _oracle(pd.DataFrame({"k": keys}), vals, "sum")
+    np.testing.assert_array_equal(np.asarray(out["s"].data),
+                                  expect.to_numpy())
+
+
+def test_quantiles(rng):
+    x = rng.standard_normal(999).astype(np.float64)
+    from libgdf_tpu import Column
+    col = Column.from_array(x)
+    for method, interp in [("linear", "linear"), ("lower", "lower"),
+                           ("higher", "higher"), ("midpoint", "midpoint"),
+                           ("nearest", "nearest")]:
+        for q in [0.0, 0.25, 0.5, 0.77, 1.0]:
+            got = float(ops.quantile_exact(col, q, method))
+            expect = np.quantile(x, q, method=interp)
+            assert np.isclose(got, expect), (method, q)
+
+
+def test_quantile_with_nulls(rng):
+    x = rng.standard_normal(500).astype(np.float64)
+    null = rng.random(500) < 0.3
+    from libgdf_tpu import Column
+    col = Column.from_masked(x, null)
+    got = float(ops.quantile_exact(col, 0.5, "linear"))
+    expect = np.quantile(x[~null], 0.5)
+    assert np.isclose(got, expect)

@@ -1,0 +1,187 @@
+"""Join tests vs a host multimap oracle.
+
+≅ reference tests/join/join-tests.cu:260-340: reference solution built with
+a host std::multimap including full row-equality with valids (NULL never
+matches); GDF result and oracle both sorted and compared."""
+import jax
+import numpy as np
+import pytest
+
+from libgdf_tpu import Table, ops
+
+
+def _oracle_join(lkeys, rkeys, lnull, rnull, how):
+    """Host multimap oracle. Returns sorted list of (l, r) index pairs,
+    -1 for unmatched side."""
+    from collections import defaultdict
+    m = defaultdict(list)
+    for j, k in enumerate(rkeys):
+        if not rnull[j]:
+            m[tuple(np.atleast_1d(k))].append(j)
+    out = []
+    matched_r = set()
+    for i, k in enumerate(lkeys):
+        hits = [] if lnull[i] else m.get(tuple(np.atleast_1d(k)), [])
+        if hits:
+            for j in hits:
+                out.append((i, j))
+                matched_r.add(j)
+        elif how in ("left", "full"):
+            out.append((i, -1))
+    if how == "full":
+        for j in range(len(rkeys)):
+            if j not in matched_r:
+                out.append((-1, j))
+    return sorted(out)
+
+
+def _run_join(lkeys, rkeys, lnull, rnull, how, multi=False):
+    if multi:
+        lt = Table.from_dict({"k1": lkeys[:, 0], "k2": lkeys[:, 1]},
+                             nulls={"k1": lnull})
+        rt = Table.from_dict({"k1": rkeys[:, 0], "k2": rkeys[:, 1]},
+                             nulls={"k1": rnull})
+        on = ["k1", "k2"]
+    else:
+        lt = Table.from_dict({"k": lkeys}, nulls={"k": lnull})
+        rt = Table.from_dict({"k": rkeys}, nulls={"k": rnull})
+        on = ["k"]
+    li, ri, count = ops.join_indices(lt, rt, on, on, how=how)
+    cnt = int(count)
+    got = sorted(zip(np.asarray(li)[:cnt].tolist(),
+                     np.asarray(ri)[:cnt].tolist()))
+    return got
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_join_with_nulls(how, rng):
+    nl, nr = 200, 150
+    lk = rng.integers(0, 50, nl).astype(np.int32)
+    rk = rng.integers(0, 50, nr).astype(np.int32)
+    lnull = rng.random(nl) < 0.15
+    rnull = rng.random(nr) < 0.15
+    got = _run_join(lk, rk, lnull, rnull, how)
+    expect = _oracle_join(lk, rk, lnull, rnull, how)
+    assert got == expect
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_join_multi_column(how, rng):
+    nl, nr = 120, 100
+    lk = rng.integers(0, 8, (nl, 2)).astype(np.int64)
+    rk = rng.integers(0, 8, (nr, 2)).astype(np.int64)
+    lnull = rng.random(nl) < 0.1
+    rnull = rng.random(nr) < 0.1
+    got = _run_join(lk, rk, lnull, rnull, how, multi=True)
+    # oracle: a null in k1 kills the row
+    expect = _oracle_join([tuple(r) for r in lk], [tuple(r) for r in rk],
+                          lnull, rnull, how)
+    assert got == expect
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_join_size_asymmetry(how, rng):
+    """≅ join-tests.cu:578-707 size-asymmetric cases."""
+    lk = rng.integers(0, 5, 1000).astype(np.int32)
+    rk = np.arange(5, dtype=np.int32)
+    got = _run_join(lk, rk, np.zeros(1000, bool), np.zeros(5, bool), how)
+    expect = _oracle_join(lk, rk, np.zeros(1000, bool),
+                          np.zeros(5, bool), how)
+    assert got == expect
+
+
+def test_join_all_equal_keys(rng):
+    """Degenerate: every key equal (quadratic output)."""
+    lk = np.zeros(30, np.int32)
+    rk = np.zeros(40, np.int32)
+    got = _run_join(lk, rk, np.zeros(30, bool), np.zeros(40, bool), "inner")
+    assert len(got) == 30 * 40
+
+
+def test_join_no_matches():
+    lk = np.arange(10, dtype=np.int32)
+    rk = np.arange(100, 110, dtype=np.int32)
+    got = _run_join(lk, rk, np.zeros(10, bool), np.zeros(10, bool), "inner")
+    assert got == []
+
+
+def test_join_under_jit_with_capacity(rng):
+    """join_indices is jittable with a static out_capacity."""
+    lk = rng.integers(0, 20, 100).astype(np.int32)
+    rk = rng.integers(0, 20, 80).astype(np.int32)
+    lt = Table.from_dict({"k": lk})
+    rt = Table.from_dict({"k": rk})
+
+    @jax.jit
+    def f(lt, rt):
+        return ops.join_indices(lt, rt, ["k"], ["k"], "inner",
+                                out_capacity=2048)
+
+    li, ri, count = f(lt, rt)
+    cnt = int(count)
+    got = sorted(zip(np.asarray(li)[:cnt].tolist(),
+                     np.asarray(ri)[:cnt].tolist()))
+    expect = _oracle_join(lk, rk, np.zeros(100, bool), np.zeros(80, bool),
+                          "inner")
+    assert got == expect
+    # dead slots are -1/-1
+    assert (np.asarray(li)[cnt:] == -1).all()
+
+
+def test_join_materialized_gathers_payloads(rng):
+    lt = Table.from_dict({"k": np.asarray([1, 2, 3, 4], np.int32),
+                          "lv": np.asarray([10., 20., 30., 40.],
+                                           np.float32)})
+    rt = Table.from_dict({"k": np.asarray([2, 2, 5], np.int32),
+                          "rv": np.asarray([7, 8, 9], np.int64)})
+    out = ops.join(lt, rt, ["k"], ["k"], how="left").compact()
+    df = out.to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+    assert df["k"].tolist() == [1, 2, 2, 3, 4]
+    assert df["lv"].tolist() == [10., 20., 20., 30., 40.]
+    rv = df["rv"].tolist()
+    assert rv[1:3] == [7, 8]
+    import pandas as pd
+    assert pd.isna(rv[0]) and pd.isna(rv[3]) and pd.isna(rv[4])
+
+
+def test_join_respects_num_rows(rng):
+    """Joining filtered (capacity+count) tables ignores dead rows."""
+    lk = np.arange(20, dtype=np.int32)
+    lt = Table.from_dict({"k": lk})
+    lt = ops.filter_table(lt, ops.compare_scalar(lt["k"], 10, "lt"))
+    rt = Table.from_dict({"k": np.arange(5, 15, dtype=np.int32)})
+    li, ri, count = ops.join_indices(lt, rt, ["k"], ["k"], "inner")
+    cnt = int(count)
+    assert cnt == 5  # keys 5..9
+    lvals = np.asarray(lt["k"].data)[np.asarray(li)[:cnt]]
+    assert sorted(lvals.tolist()) == [5, 6, 7, 8, 9]
+
+
+def test_join_nan_keys_never_match():
+    lk = np.asarray([1.0, np.nan, 2.0], np.float32)
+    rk = np.asarray([np.nan, 2.0], np.float32)
+    lt = Table.from_dict({"k": lk})
+    rt = Table.from_dict({"k": rk})
+    li, ri, count = ops.join_indices(lt, rt, ["k"], ["k"], "inner")
+    assert int(count) == 1  # only 2.0 == 2.0
+
+
+def test_join_negative_zero_matches_zero():
+    lk = np.asarray([-0.0], np.float64)
+    rk = np.asarray([0.0], np.float64)
+    lt = Table.from_dict({"k": lk})
+    rt = Table.from_dict({"k": rk})
+    _, _, count = ops.join_indices(lt, rt, ["k"], ["k"], "inner")
+    assert int(count) == 1
+
+
+def test_lex_searchsorted_matches_numpy(rng):
+    import jax.numpy as jnp
+    s = np.sort(rng.integers(0, 100, 500).astype(np.int64))
+    q = rng.integers(-10, 110, 200).astype(np.int64)
+    enc_s = ops.radix_encode(jnp.asarray(s))
+    enc_q = ops.radix_encode(jnp.asarray(q))
+    lo = np.asarray(ops.lex_searchsorted([enc_s], [enc_q], "left"))
+    hi = np.asarray(ops.lex_searchsorted([enc_s], [enc_q], "right"))
+    np.testing.assert_array_equal(lo, np.searchsorted(s, q, "left"))
+    np.testing.assert_array_equal(hi, np.searchsorted(s, q, "right"))
