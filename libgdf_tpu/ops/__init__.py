@@ -1,6 +1,6 @@
 from . import (
     compaction, datetime, elementwise, groupby as groupby_mod, hashing,
-    join as join_mod, quantiles, reductions, scan, sort,
+    join as join_mod, quantiles, reductions, scan, sort, window,
 )
 
 from .elementwise import (
@@ -31,3 +31,4 @@ from .groupby import (
     group_by_avg, group_by_count,
 )
 from .quantiles import quantile_exact, quantile_approx
+from .window import window_function

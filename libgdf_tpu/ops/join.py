@@ -55,6 +55,7 @@ from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
 from .sort import radix_encode
+from .sorted_search import sorted_search_bounds
 
 # ---------------------------------------------------------------------------
 # Key normalization
@@ -120,8 +121,14 @@ def lex_searchsorted(sorted_keys, query_keys, side: str) -> jax.Array:
         hi = jnp.where(jnp.logical_or(go_right, lo >= hi), hi, mid)
         return lo, hi
 
-    lo = jnp.zeros((m,), jnp.int32)
-    hi = jnp.full((m,), n, jnp.int32)
+    # Derive the init carry from the inputs so it inherits their
+    # device-varying type under shard_map (a fresh jnp.zeros is unvarying
+    # and trips the scan carry-type check inside shard-local bodies).
+    zero = ((query_keys[0] != query_keys[0]) |
+            (sorted_keys[0][:1] != sorted_keys[0][:1]).any()).astype(
+        jnp.int32) * 0
+    lo = jnp.zeros((m,), jnp.int32) + zero
+    hi = jnp.full((m,), n, jnp.int32) + zero
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
 
@@ -157,10 +164,8 @@ def _match_ranges(probe: Table, probe_on, build: Table, build_on):
     build_perm = sorted_ops[-1]
 
     qflag = jnp.zeros((probe.capacity,), jnp.uint8)
-    lower = lex_searchsorted([sorted_flag] + sorted_keys,
-                             [qflag] + pkeys, side="left")
-    upper = lex_searchsorted([sorted_flag] + sorted_keys,
-                             [qflag] + pkeys, side="right")
+    lower, upper = sorted_search_bounds([sorted_flag] + sorted_keys,
+                                        [qflag] + pkeys)
     if p_nomatch is not None:
         upper = jnp.where(p_nomatch, lower, upper)
     return build_perm, lower, upper, p_nomatch
@@ -218,9 +223,13 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
                 "join under jit requires a static out_capacity") from None
     cap = int(out_capacity)
 
-    # Emit pass: slot j → left row i, match rank j - offsets[i].
+    # Emit pass: slot j → left row i = max{i : offsets[i] <= j}, match
+    # rank j - offsets[i]. Inverted with one scatter-max + running max
+    # (TPU-friendly: bandwidth-shaped, no log-n gather rounds).
     j = jnp.arange(cap, dtype=jnp.int32)
-    i = (jnp.searchsorted(offsets, j, side="right") - 1).astype(jnp.int32)
+    iota_l = jnp.arange(left.capacity, dtype=jnp.int32)
+    seg = jnp.zeros((cap,), jnp.int32).at[offsets].max(iota_l, mode="drop")
+    i = jax.lax.associative_scan(jnp.maximum, seg)
     i = jnp.clip(i, 0, max(left.capacity - 1, 0))
     rank = j - jnp.take(offsets, i)
     lo_i = jnp.take(lower, i)

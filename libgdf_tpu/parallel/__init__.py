@@ -1,0 +1,20 @@
+"""Distributed layer: device mesh, sharded tables, shuffles, distributed
+relational operators (SURVEY.md §2.8 — all new capability; the reference
+is single-GPU and stops at gdf_hash_partition)."""
+from .mesh import (
+    DEFAULT_AXIS, init_distributed, make_mesh, row_sharding, shard_table,
+)
+from .shuffle import (
+    all_gather_table, global_partition_histogram, shuffle_shard,
+)
+from .distributed import (
+    ShardedTable, broadcast_join, collect, detect_skew, dist_groupby,
+    dist_join, distribute, map_shards,
+)
+
+__all__ = [
+    "DEFAULT_AXIS", "init_distributed", "make_mesh", "row_sharding",
+    "shard_table", "all_gather_table", "global_partition_histogram",
+    "shuffle_shard", "ShardedTable", "broadcast_join", "collect",
+    "detect_skew", "dist_groupby", "dist_join", "distribute", "map_shards",
+]

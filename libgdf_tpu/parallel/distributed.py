@@ -36,8 +36,8 @@ from ..core.column import Column
 from ..core.dtypes import DtypeInfo, GDFDtype
 from ..core.errors import GDFStatus, require
 from ..core.table import Table, table_concat
-from ..ops import groupby as groupby_mod
-from ..ops import join as join_mod
+from ..ops.groupby import groupby as _local_groupby
+from ..ops.join import join as _local_join
 from .mesh import DEFAULT_AXIS
 from .shuffle import all_gather_table, global_partition_histogram, shuffle_shard
 
@@ -190,12 +190,12 @@ def dist_groupby(mesh: Mesh, st: ShardedTable, key_names: Sequence[str],
 
     def body(t: Table) -> Table:
         if pre_aggregate:
-            t = groupby_mod.groupby(t, key_names, plan.partial)
+            t = _local_groupby(t, key_names, plan.partial)
         t = shuffle_shard(t, key_names, axis_name, slot_capacity)
         if pre_aggregate:
-            out = groupby_mod.groupby(t, key_names, plan.merge)
+            out = _local_groupby(t, key_names, plan.merge)
         else:
-            out = groupby_mod.groupby(t, key_names, plan.partial)
+            out = _local_groupby(t, key_names, plan.partial)
             out = _rename_to_merge(out, plan)
         return plan.finalize(out)
 
@@ -239,7 +239,7 @@ def dist_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     def body(lt: Table, rt: Table) -> Table:
         lt = shuffle_shard(lt, left_on, axis_name, slot_capacity)
         rt = shuffle_shard(rt, right_on, axis_name, slot_capacity)
-        return join_mod.join(lt, rt, left_on, right_on, how=how,
+        return _local_join(lt, rt, left_on, right_on, how=how,
                              out_capacity=out_capacity_per_shard)
 
     return map_shards(mesh, body, left, right, axis_name=axis_name)
@@ -261,7 +261,7 @@ def broadcast_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
 
     def body(lt: Table, rt: Table) -> Table:
         rt_full = all_gather_table(rt, axis_name)
-        return join_mod.join(lt, rt_full, left_on, right_on, how=how,
+        return _local_join(lt, rt_full, left_on, right_on, how=how,
                              out_capacity=out_capacity_per_shard)
 
     return map_shards(mesh, body, left, right, axis_name=axis_name)

@@ -1,0 +1,208 @@
+"""Flat gdf_* ABI-surface tests.
+
+Parity sweep: every function declared in the reference's public headers
+(include/gdf/cffi/functions.h + io_functions.h) must exist in
+libgdf_tpu.compat.gdf (or its io/memory siblings). Functional spot checks
+mirror the reference's python suite patterns (test_unaryops/test_binaryops/
+test_sorting etc.)."""
+import os
+import re
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libgdf_tpu import Column, GDFError, ops
+from libgdf_tpu.compat import gdf
+
+REF = "/root/reference/libgdf/include/gdf/cffi"
+
+
+def _declared_functions():
+    names = set()
+    decl = re.compile(r"^[A-Za-z_][A-Za-z0-9_* ]*?\b(g[dp][fu]_\w+)\s*\(",
+                      re.M)
+    for header in ("functions.h", "io_functions.h"):
+        path = os.path.join(REF, header)
+        if not os.path.exists(path):
+            continue
+        text = open(path).read()
+        # strip comments
+        text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+        text = re.sub(r"//.*", "", text)
+        for m in decl.finditer(text):
+            names.add(m.group(1))
+    return names
+
+
+# surfaces that live in sibling modules, not compat.gdf
+_ELSEWHERE = {
+    "read_csv": "libgdf_tpu.io.csv",
+    "gdf_ipc_parser_open": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_open_recordbatches": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_close": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_failed": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_to_schema_json": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_get_schema_json": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_to_json": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_get_layout_json": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_get_error": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_get_data": "libgdf_tpu.io.ipc",
+    "gdf_ipc_parser_get_data_offset": "libgdf_tpu.io.ipc",
+    "gdf_to_csr": "libgdf_tpu.io.csr",
+}
+
+
+def test_every_reference_function_has_a_counterpart():
+    declared = _declared_functions()
+    assert len(declared) > 250, f"header parse broke: {len(declared)}"
+    missing = []
+    import importlib
+    for name in sorted(declared):
+        if hasattr(gdf, name):
+            continue
+        if name in _ELSEWHERE:
+            mod = importlib.import_module(_ELSEWHERE[name])
+            if hasattr(mod, name):
+                continue
+        missing.append(name)
+    assert not missing, f"{len(missing)} missing: {missing[:20]}"
+
+
+def test_unary_typed_and_generic(rng):
+    x = rng.random(100).astype(np.float32) + 0.1
+    col = Column.from_array(x)
+    np.testing.assert_allclose(np.asarray(gdf.gdf_sin_f32(col).data),
+                               np.sin(x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gdf.gdf_log_generic(col).data),
+                               np.log(x), rtol=1e-6)
+    with pytest.raises(GDFError):
+        gdf.gdf_sin_f64(col)  # wrong dtype guard
+
+
+def test_binary_typed(rng):
+    a = rng.integers(0, 100, 50).astype(np.int32)
+    b = rng.integers(1, 100, 50).astype(np.int32)
+    ca, cb = Column.from_array(a), Column.from_array(b)
+    np.testing.assert_array_equal(np.asarray(gdf.gdf_add_i32(ca, cb).data),
+                                  a + b)
+    out = gdf.gdf_lt_i32(ca, cb)
+    assert out.data.dtype == jnp.int8  # comparison output is i8
+    np.testing.assert_array_equal(np.asarray(out.data), (a < b).astype(np.int8))
+    with pytest.raises(GDFError):
+        gdf.gdf_add_i64(ca, cb)
+
+
+def test_cast_matrix_roundtrip(rng):
+    x = rng.integers(-100, 100, 32).astype(np.int32)
+    col = Column.from_array(x)
+    f = gdf.gdf_cast_i32_to_f64(col)
+    back = gdf.gdf_cast_f64_to_i32(f)
+    np.testing.assert_array_equal(np.asarray(back.data), x)
+
+
+def test_cast_date32_to_date64():
+    days = np.array([0, 1, -1, 18000], dtype=np.int32)
+    from libgdf_tpu import GDFDtype
+    col = Column.from_array(days, gdf_dtype=GDFDtype.DATE32)
+    ms = gdf.gdf_cast_date32_to_date64(col)
+    np.testing.assert_array_equal(np.asarray(ms.data),
+                                  days.astype(np.int64) * 86400000)
+
+
+def test_reductions_and_prefixsum(rng):
+    x = rng.integers(1, 10, 64).astype(np.int32)
+    col = Column.from_array(x)
+    assert int(gdf.gdf_sum_i32(col)) == x.sum()
+    assert int(gdf.gdf_max_generic(col)) == x.max()
+    assert gdf.gdf_reduce_optimal_output_size() == 128
+    ps = gdf.gdf_prefixsum_i32(col)
+    np.testing.assert_array_equal(np.asarray(ps.data), np.cumsum(x))
+
+
+def test_comparison_static_and_stencil(rng):
+    x = rng.standard_normal(200).astype(np.float32)
+    col = Column.from_array(x)
+    st = gdf.gpu_comparison_static_f32(col, 0.0, "gt")
+    out = gdf.gpu_apply_stencil(col, st)
+    np.testing.assert_array_equal(np.asarray(out.data), x[x > 0])
+
+
+def test_concat_and_masks(rng):
+    a = Column.from_masked(np.arange(5, dtype=np.int32),
+                           [True, False, False, True, False])
+    b = Column.from_array(np.arange(3, dtype=np.int32))
+    out = gdf.gpu_concat(a, b)
+    assert out.size == 8
+    assert int(gdf.gdf_count_nonzero_mask(out)) == 6
+    assert gdf.gdf_get_num_chars_bitmask(17) == 3
+
+
+def test_join_entry_points(rng):
+    lk = Column.from_array(np.array([1, 2, 3, 4], np.int32), name="k")
+    lv = Column.from_array(np.array([10, 20, 30, 40], np.float32), name="v")
+    rk = Column.from_array(np.array([2, 4, 9], np.int32), name="k")
+    out = gdf.gdf_inner_join([lk, lv], 2, [0], [rk], 1, [0], 1)
+    ks = sorted(np.asarray(out[0].data).tolist())
+    assert ks == [2, 4]
+    out = gdf.gdf_left_join([lk, lv], 2, [0], [rk], 1, [0], 1)
+    assert len(np.asarray(out[0].data)) == 4
+
+
+def test_group_by_and_order_by(rng):
+    k = Column.from_array(np.array([1, 2, 1, 2, 3], np.int32), name="k")
+    v = Column.from_array(np.array([1., 2., 3., 4., 5.], np.float64))
+    keys, agg = gdf.gdf_group_by_sum(1, [k], v)
+    got = dict(zip(np.asarray(keys[0].data).tolist(),
+                   np.asarray(agg.data).tolist()))
+    assert got == {1: 4.0, 2: 6.0, 3: 5.0}
+    perm = gdf.gdf_order_by([Column.from_array(
+        np.array([3, 1, 2], np.int32))])
+    np.testing.assert_array_equal(np.asarray(perm.data), [1, 2, 0])
+
+
+def test_gdf_filter_value_tuple():
+    a = Column.from_array(np.array([1, 2, 1, 1], np.int32))
+    b = Column.from_array(np.array([5, 5, 6, 5], np.int32))
+    out = gdf.gdf_filter([a, b], (1, 5))
+    np.testing.assert_array_equal(np.asarray(out[0].data), [1, 1])
+    np.testing.assert_array_equal(np.asarray(out[1].data), [5, 5])
+
+
+def test_radixsort_plan_lifecycle(rng):
+    x = rng.integers(0, 1000, 128).astype(np.int32)
+    v = np.arange(128, dtype=np.int32)
+    plan = gdf.gdf_radixsort_plan(128, False)
+    gdf.gdf_radixsort_plan_setup(plan, 4, 4)
+    keys, vals = gdf.gdf_radixsort_i32(plan, Column.from_array(x),
+                                       Column.from_array(v))
+    np.testing.assert_array_equal(np.asarray(keys.data), np.sort(x))
+    np.testing.assert_array_equal(np.asarray(vals.data), np.argsort(x,
+                                                                    kind="stable"))
+    gdf.gdf_radixsort_plan_free(plan)
+    with pytest.raises(GDFError):
+        gdf.gdf_radixsort_i32(plan, Column.from_array(x))
+
+
+def test_hash_partition_entry(rng):
+    a = Column.from_array(rng.integers(0, 100, 64).astype(np.int32))
+    b = Column.from_array(rng.standard_normal(64).astype(np.float32))
+    cols, offsets = gdf.gdf_hash_partition(2, [a, b], [0], 4)
+    assert len(cols) == 2
+    offs = np.asarray(offsets)
+    assert offs[0] == 0 and np.all(np.diff(offs) >= 0)
+
+
+def test_nvtx_ranges_nest():
+    gdf.gdf_nvtx_range_push("LIBGDF_JOIN", "green")
+    gdf.gdf_nvtx_range_push_hex("inner", 0xff00ff)
+    gdf.gdf_nvtx_range_pop()
+    gdf.gdf_nvtx_range_pop()
+    gdf.gdf_nvtx_range_pop()  # over-pop is a safe no-op
+
+
+def test_error_introspection():
+    from libgdf_tpu import GDFStatus
+    assert gdf.gdf_error_get_name(GDFStatus.GDF_SUCCESS) == "GDF_SUCCESS"
+    assert gdf.gdf_cuda_last_error() == 0
+    assert "error" in gdf.gdf_cuda_error_string(1)
