@@ -167,7 +167,8 @@ def _segment_agg(vals, avalid, seg, num_segments, op, group_live) -> Column:
     if op in ("count", "count_distinct"):
         ones = (jnp.ones(vals.shape, jnp.int32) if avalid is None
                 else avalid.astype(jnp.int32))
-        out = jax.ops.segment_sum(ones, seg, num_segments=num_segments + 1)
+        out = jax.ops.segment_sum(ones, seg, num_segments=num_segments + 1,
+                                    indices_are_sorted=True)
         return Column(data=out[:num_segments].astype(jnp.int64),
                       valid=group_live, info=DtypeInfo(GDFDtype.INT64))
 
@@ -177,11 +178,14 @@ def _segment_agg(vals, avalid, seg, num_segments, op, group_live) -> Column:
         if avalid is not None:
             fvals = jnp.where(avalid, fvals, 0.0)
             cnt = jax.ops.segment_sum(avalid.astype(jnp.int32), seg,
-                                      num_segments=num_segments + 1)
+                                      num_segments=num_segments + 1,
+                                      indices_are_sorted=True)
         else:
             cnt = jax.ops.segment_sum(jnp.ones(vals.shape, jnp.int32), seg,
-                                      num_segments=num_segments + 1)
-        tot = jax.ops.segment_sum(fvals, seg, num_segments=num_segments + 1)
+                                      num_segments=num_segments + 1,
+                                      indices_are_sorted=True)
+        tot = jax.ops.segment_sum(fvals, seg, num_segments=num_segments + 1,
+                                  indices_are_sorted=True)
         cnt = cnt[:num_segments]
         avg = tot[:num_segments] / jnp.maximum(cnt, 1)
         valid = jnp.logical_and(group_live, cnt > 0)
@@ -192,15 +196,19 @@ def _segment_agg(vals, avalid, seg, num_segments, op, group_live) -> Column:
     if avalid is not None:
         vals = jnp.where(avalid, vals, ident)
     if op == "sum":
-        out = jax.ops.segment_sum(vals, seg, num_segments=num_segments + 1)
+        out = jax.ops.segment_sum(vals, seg, num_segments=num_segments + 1,
+                                  indices_are_sorted=True)
     elif op == "min":
-        out = jax.ops.segment_min(vals, seg, num_segments=num_segments + 1)
+        out = jax.ops.segment_min(vals, seg, num_segments=num_segments + 1,
+                                  indices_are_sorted=True)
     else:
-        out = jax.ops.segment_max(vals, seg, num_segments=num_segments + 1)
+        out = jax.ops.segment_max(vals, seg, num_segments=num_segments + 1,
+                                  indices_are_sorted=True)
     out = out[:num_segments]
     if avalid is not None:
         nvalid = jax.ops.segment_sum(avalid.astype(jnp.int32), seg,
-                                     num_segments=num_segments + 1)
+                                     num_segments=num_segments + 1,
+                                     indices_are_sorted=True)
         valid = jnp.logical_and(group_live, nvalid[:num_segments] > 0)
     else:
         valid = group_live

@@ -55,7 +55,7 @@ from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
 from .sort import radix_encode
-from .sorted_search import sorted_search_bounds
+from .sorted_search import merge_match_ranges
 
 # ---------------------------------------------------------------------------
 # Key normalization
@@ -152,20 +152,15 @@ def _match_ranges(probe: Table, probe_on, build: Table, build_on):
     pkeys, p_nomatch = _join_keys(probe, probe_on)
     nb = build.capacity
 
-    # Sort build rows by (participates, keys...): no-match rows to the end,
-    # outside every searchable range.
+    # ONE merged sort computes the build permutation and both bounds
+    # (ops/sorted_search.py). A leading participation-flag key word puts
+    # no-match build rows at the end of the build order, outside every
+    # query's equal-key range (queries carry flag 0).
     bflag = (jnp.zeros((nb,), jnp.uint8) if b_nomatch is None
              else b_nomatch.astype(jnp.uint8))
-    iota = jnp.arange(nb, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(tuple([bflag] + bkeys + [iota]),
-                              num_keys=1 + len(bkeys), is_stable=True)
-    sorted_flag = sorted_ops[0]
-    sorted_keys = list(sorted_ops[1:-1])
-    build_perm = sorted_ops[-1]
-
     qflag = jnp.zeros((probe.capacity,), jnp.uint8)
-    lower, upper = sorted_search_bounds([sorted_flag] + sorted_keys,
-                                        [qflag] + pkeys)
+    build_perm, lower, upper = merge_match_ranges(
+        [bflag] + bkeys, [qflag] + pkeys)
     if p_nomatch is not None:
         upper = jnp.where(p_nomatch, lower, upper)
     return build_perm, lower, upper, p_nomatch
@@ -227,16 +222,29 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     # rank j - offsets[i]. Inverted with one scatter-max + running max
     # (TPU-friendly: bandwidth-shaped, no log-n gather rounds).
     j = jnp.arange(cap, dtype=jnp.int32)
-    iota_l = jnp.arange(left.capacity, dtype=jnp.int32)
-    seg = jnp.zeros((cap,), jnp.int32).at[offsets].max(iota_l, mode="drop")
-    i = jax.lax.associative_scan(jnp.maximum, seg)
-    i = jnp.clip(i, 0, max(left.capacity - 1, 0))
-    rank = j - jnp.take(offsets, i)
-    lo_i = jnp.take(lower, i)
-    cnt_i = jnp.take(upper, i) - lo_i
+    if left.capacity == 0:
+        # no probe rows: nothing in the [0, total_lr) region (FULL's
+        # unmatched-build tail below still applies)
+        i = jnp.zeros((cap,), jnp.int32)
+        rank = j
+        lo_i = jnp.zeros((cap,), jnp.int32)
+        cnt_i = jnp.zeros((cap,), jnp.int32)
+    else:
+        iota_l = jnp.arange(left.capacity, dtype=jnp.int32)
+        seg = jnp.zeros((cap,), jnp.int32).at[offsets].max(iota_l,
+                                                           mode="drop")
+        i = jax.lax.cummax(seg)
+        i = jnp.clip(i, 0, max(left.capacity - 1, 0))
+        rank = j - jnp.take(offsets, i)
+        lo_i = jnp.take(lower, i)
+        cnt_i = jnp.take(upper, i) - lo_i
     matched = rank < cnt_i
     r_sorted_pos = jnp.clip(lo_i + rank, 0, max(right.capacity - 1, 0))
-    right_idx = jnp.where(matched, jnp.take(right_perm, r_sorted_pos), -1)
+    # pad so the take is well-defined when the build side is empty (all
+    # slots are unmatched then anyway)
+    safe_perm = (right_perm if right.capacity > 0
+                 else jnp.zeros((1,), jnp.int32))
+    right_idx = jnp.where(matched, jnp.take(safe_perm, r_sorted_pos), -1)
     left_idx = i
     slot_live = j < total_lr
 
@@ -299,12 +307,17 @@ def join(left: Table, right: Table, left_on: Sequence[str],
 
 def _gather_valid(col: Column, idx):
     ok = idx >= 0
-    if col.valid is None:
+    if col.valid is None or col.size == 0:
         return ok
     return jnp.logical_and(ok, jnp.take(col.valid, idx, mode="clip"))
 
 
 def _gather_col(col: Column, idx) -> Column:
+    if col.size == 0:
+        # empty side: every index is -1; emit an all-NULL column
+        data = jnp.zeros(idx.shape, col.data.dtype)
+        return Column(data=data, valid=jnp.zeros(idx.shape, jnp.bool_),
+                      info=col.info, name=col.name)
     data = jnp.take(col.data, jnp.clip(idx, 0, None), mode="clip")
     return Column(data=data, valid=_gather_valid(col, idx),
                   info=col.info, name=col.name)

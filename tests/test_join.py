@@ -185,3 +185,28 @@ def test_lex_searchsorted_matches_numpy(rng):
     hi = np.asarray(ops.lex_searchsorted([enc_s], [enc_q], "right"))
     np.testing.assert_array_equal(lo, np.searchsorted(s, q, "left"))
     np.testing.assert_array_equal(hi, np.searchsorted(s, q, "right"))
+
+
+def test_join_empty_right_side():
+    """Left/full joins must handle a zero-row build side (every probe row
+    unmatched; ≅ join_call's trivial-case handling, joining.cu:299-320)."""
+    left = Table.from_dict({"k": np.arange(5, dtype=np.int64),
+                            "v": np.arange(5, dtype=np.float64)})
+    right = Table.from_dict({"k": np.array([], np.int64),
+                             "w": np.array([], np.float64)})
+    out = ops.join(left, right, ["k"], ["k"], how="left").to_pandas()
+    assert len(out) == 5
+    assert out["w"].isna().all()
+    inner = ops.join(left, right, ["k"], ["k"], how="inner").compact()
+    assert inner.capacity == 0
+
+
+def test_join_empty_left_side():
+    left = Table.from_dict({"k": np.array([], np.int64),
+                            "v": np.array([], np.float64)})
+    right = Table.from_dict({"k": np.arange(3, dtype=np.int64),
+                             "w": np.arange(3, dtype=np.float64)})
+    out = ops.join(left, right, ["k"], ["k"], how="full").to_pandas()
+    assert len(out) == 3
+    assert out["v"].isna().all()
+    assert sorted(out["k"].tolist()) == [0, 1, 2]
