@@ -613,3 +613,34 @@ _expose(lambda col, q, method="linear", context=None:
 # sic: the typo is part of the reference ABI (functions.h:782)
 _expose(lambda col, q, context=None: ops.quantile_approx(col, q),
         "gdf_quantile_aprrox")
+
+
+# ---------------------------------------------------------------------------
+# I/O: CSV ingest, CSR conversion, Arrow IPC (io_functions.h, src/ipc.cu)
+# ---------------------------------------------------------------------------
+
+from ..io import csv as _csv_io  # noqa: E402
+from ..io import csr as _csr_io  # noqa: E402
+from ..io import ipc as _ipc_io  # noqa: E402
+
+_expose(_csv_io.read_csv, "read_csv")
+_expose(_csr_io.gdf_to_csr, "gdf_to_csr")
+for _n in ("gdf_ipc_parser_open", "gdf_ipc_parser_open_recordbatches",
+           "gdf_ipc_parser_close", "gdf_ipc_parser_failed",
+           "gdf_ipc_parser_to_json", "gdf_ipc_parser_get_error",
+           "gdf_ipc_parser_get_data", "gdf_ipc_parser_get_data_offset",
+           "gdf_ipc_parser_get_schema_json",
+           "gdf_ipc_parser_get_layout_json"):
+    _expose(getattr(_ipc_io, _n), _n)
+
+
+# ---------------------------------------------------------------------------
+# RMM memory-manager API (include/memory.h, src/memory/memory.cpp)
+# ---------------------------------------------------------------------------
+
+from ..memory import manager as _rmm  # noqa: E402
+
+for _n in ("rmmInitialize", "rmmFinalize", "rmmIsInitialized", "rmmAlloc",
+           "rmmRealloc", "rmmFree", "rmmGetAllocationOffset", "rmmGetInfo",
+           "rmmGetErrorString", "rmmLogSize", "rmmGetLog", "rmmWriteLog"):
+    _expose(getattr(_rmm, _n), _n)
