@@ -179,36 +179,55 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     The build side is always `right` (≅ join_hash builds on right,
     joining.h:47-76; the reference flips inner joins to build on the
     smaller side — here the sort cost is symmetric and flipping is the
-    caller's planner decision, see parallel/distributed.py)."""
+    caller's planner decision, see parallel/distributed.py).
+
+    Everything is computed in merge-sorted key space — match ranges, emit
+    counts, the FULL join's unmatched-build detection (a reverse cummin
+    instead of the reference's second probe pass) and output offsets —
+    so the only position-indexed ops are ONE scatter (slot → sorted
+    position, the analogue of the probe kernel's atomicAdd output index,
+    join_kernels.cuh:259-455) and two row-gathers. TPU cost model: sorts
+    and scans are fast; element scatters/gathers are the expensive ops
+    and are minimized, with multi-payload gathers fused into one 2-wide
+    row gather."""
     require(how in ("inner", "left", "full"),
             GDFStatus.GDF_UNSUPPORTED_JOIN_TYPE, how)
+    require(len(left_on) == len(right_on) and len(left_on) > 0,
+            GDFStatus.GDF_JOIN_DTYPE_MISMATCH, "key column count mismatch")
+    for a, b in zip(left_on, right_on):
+        require(left.column(a).info.gdf_dtype ==
+                right.column(b).info.gdf_dtype,
+                GDFStatus.GDF_JOIN_DTYPE_MISMATCH,
+                f"join key dtype mismatch {a}/{b}")
 
-    right_perm, lower, upper, p_nomatch = _match_ranges(
-        left, left_on, right, right_on)
-    counts = upper - lower                       # matches per left row
-    if how in ("left", "full"):
-        # unmatched live left rows still emit one output row
-        live = (jnp.ones((left.capacity,), jnp.bool_)
-                if left.num_rows is None else left.live_mask())
-        emit = jnp.where(jnp.logical_and(counts == 0, live), 1, counts)
-    else:
-        emit = counts
-    offsets = jnp.cumsum(emit, dtype=jnp.int32) - emit   # exclusive scan
-    total_lr = offsets[-1] + emit[-1] if left.capacity > 0 else jnp.int32(0)
+    n, m = right.capacity, left.capacity
+    L = n + m
+    require(L < (1 << 29), GDFStatus.GDF_COLUMN_SIZE_TOO_BIG,
+            "single-shard join capped at 2^29 combined rows "
+            "(packed emit payload); shard over a mesh instead")
 
-    if how == "full":
-        # unmatched build rows appended (≅ append_full_join_indices,
-        # join_compute_api.h:54-186): right row r is unmatched iff no
-        # live, matchable left row hits it.
-        left_perm, r_lower, r_upper, _ = _match_ranges(
-            right, right_on, left, left_on)
-        r_unmatched = r_upper == r_lower
-        if right.num_rows is not None:
-            r_unmatched = jnp.logical_and(r_unmatched, right.live_mask())
-        n_unmatched = jnp.sum(r_unmatched, dtype=jnp.int32)
-        total = total_lr + n_unmatched
-    else:
-        total = total_lr
+    bkeys, b_nomatch = _join_keys(right, right_on)
+    pkeys, p_nomatch = _join_keys(left, left_on)
+
+    b_live = (jnp.ones((n,), jnp.bool_) if right.num_rows is None
+              else right.live_mask())
+    p_live = (jnp.ones((m,), jnp.bool_) if left.num_rows is None
+              else left.live_mask())
+
+    def _ctl(nomatch, live):
+        matchable = (jnp.ones_like(live) if nomatch is None
+                     else jnp.logical_not(nomatch))
+        return matchable.astype(jnp.uint8) | (live.astype(jnp.uint8) << 1)
+
+    # A leading flag word pushes no-match build rows past every query
+    # run (queries carry flag 0), so they never land inside a match
+    # range; query no-match is handled by the ctl bit instead.
+    bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
+             else b_nomatch.astype(jnp.uint8))
+
+    total, emit, offsets, s_back, run_lower, flag_bits = _emit_plan(
+        how, bkeys, pkeys, bflag, _ctl(b_nomatch, b_live),
+        _ctl(p_nomatch, p_live))
 
     if out_capacity is None:
         try:
@@ -217,53 +236,122 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
             raise ValueError(
                 "join under jit requires a static out_capacity") from None
     cap = int(out_capacity)
+    if cap == 0 or L == 0:
+        neg = jnp.full((cap,), -1, jnp.int32)
+        return neg, neg, total
 
-    # Emit pass: slot j → left row i = max{i : offsets[i] <= j}, match
-    # rank j - offsets[i]. Inverted with one scatter-max + running max
-    # (TPU-friendly: bandwidth-shaped, no log-n gather rounds).
-    j = jnp.arange(cap, dtype=jnp.int32)
-    if left.capacity == 0:
-        # no probe rows: nothing in the [0, total_lr) region (FULL's
-        # unmatched-build tail below still applies)
-        i = jnp.zeros((cap,), jnp.int32)
-        rank = j
-        lo_i = jnp.zeros((cap,), jnp.int32)
-        cnt_i = jnp.zeros((cap,), jnp.int32)
+    # Build permutation (sorted-build position → original build row) from
+    # a small separate sort of the build side alone; stability makes it
+    # positionally consistent with build ranks in the merged order.
+    if n > 0:
+        bsort = jax.lax.sort(
+            tuple([bflag] + bkeys + [jnp.arange(n, dtype=jnp.int32)]),
+            num_keys=1 + len(bkeys), is_stable=True)
+        build_perm = bsort[-1]
     else:
-        iota_l = jnp.arange(left.capacity, dtype=jnp.int32)
-        seg = jnp.zeros((cap,), jnp.int32).at[offsets].max(iota_l,
-                                                           mode="drop")
-        i = jax.lax.cummax(seg)
-        i = jnp.clip(i, 0, max(left.capacity - 1, 0))
-        rank = j - jnp.take(offsets, i)
-        lo_i = jnp.take(lower, i)
-        cnt_i = jnp.take(upper, i) - lo_i
-    matched = rank < cnt_i
-    r_sorted_pos = jnp.clip(lo_i + rank, 0, max(right.capacity - 1, 0))
-    # pad so the take is well-defined when the build side is empty (all
-    # slots are unmatched then anyway)
-    safe_perm = (right_perm if right.capacity > 0
-                 else jnp.zeros((1,), jnp.int32))
-    right_idx = jnp.where(matched, jnp.take(safe_perm, r_sorted_pos), -1)
-    left_idx = i
-    slot_live = j < total_lr
+        build_perm = jnp.zeros((1,), jnp.int32)
 
+    # ---- emit inversion: output slot j → sorted position p(j) ----------
+    # One scatter-max of a packed payload (p, is_query, has_match) at each
+    # emitting position's output offset, then running-max propagation.
+    p = jnp.arange(L, dtype=jnp.int32)
+    payload = ((p + 1) << 2) | flag_bits        # p+1: payload 0 = no slot
+    src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
+    inv0 = jnp.zeros((cap,), jnp.int32).at[src].max(payload, mode="drop")
+    inv = jax.lax.cummax(inv0)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    base = jax.lax.cummax(jnp.where(inv0 > 0, j, -1))
+    rank = j - base
+    pj = jnp.maximum((inv >> 2) - 1, 0)
+    from_query = (inv & 2) != 0
+    matched = (inv & 1) != 0
+
+    # fused 2-wide row gather: (original row id, run lower bound) at p(j)
+    sb_lo = jnp.stack([s_back, run_lower], axis=1)[pj]
+    s_back_j, lo_j = sb_lo[:, 0], sb_lo[:, 1]
+
+    r_sorted_pos = jnp.clip(lo_j + rank, 0, max(n - 1, 0))
+    r_from_match = jnp.take(build_perm, r_sorted_pos)
+
+    slot_live = j < total
+    q = jnp.logical_and(slot_live, from_query)
+    left_idx = jnp.where(q, s_back_j, -1)
+    right_idx = jnp.where(jnp.logical_and(q, matched), r_from_match, -1)
     if how == "full":
-        # Tail region [total_lr, total): (-1, unmatched right rows).
-        from .compaction import compaction_indices
-        um_rows, _ = compaction_indices(r_unmatched)
-        tail_rank = j - total_lr
-        in_tail = jnp.logical_and(j >= total_lr, j < total)
-        tail_right = jnp.take(um_rows,
-                              jnp.clip(tail_rank, 0,
-                                       max(right.capacity - 1, 0)))
-        right_idx = jnp.where(in_tail, tail_right, right_idx)
-        left_idx = jnp.where(in_tail, -1, left_idx)
-        slot_live = jnp.logical_or(slot_live, in_tail)
-
-    left_idx = jnp.where(slot_live, left_idx, -1)
-    right_idx = jnp.where(slot_live, right_idx, -1)
+        b = jnp.logical_and(slot_live, jnp.logical_not(from_query))
+        right_idx = jnp.where(b, s_back_j, right_idx)
     return left_idx, right_idx, total
+
+
+def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
+    """Merge-sort both sides on their keys and compute, per sorted
+    position: the emit count, exclusive output offsets, original row id
+    (`back`) and equal-key-run lower bound (build rank of the run start).
+
+    ≅ the reference's output-size estimation + probe passes
+    (join_compute_api.h:204-321) collapsed into exact scans:
+      upper bound  = exclusive cumsum of is_build   (build sorts first
+                     within a run via the is_query tiebreak key);
+      lower bound  = run-start propagation (cummax with -1 gaps);
+      FULL join    : a build row is matched iff its run holds ≥1
+                     matchable query row — reverse cummin of run ids over
+                     query positions (replaces the reference's second
+                     probe pass, join_compute_api.h:54-186).
+
+    Returns (total, emit, offsets, s_back, run_lower, flag_bits) — all
+    per sorted position; flag_bits packs (is_query << 1) | has_match for
+    the emit-inversion payload."""
+    n = bkeys[0].shape[0] if bkeys else bflag.shape[0]
+    m = pkeys[0].shape[0] if pkeys else p_ctl.shape[0]
+    L = n + m
+    if L == 0:
+        z = jnp.zeros((0,), jnp.int32)
+        return jnp.int32(0), z, z, z, z, z
+
+    flag = jnp.concatenate([bflag, jnp.zeros((m,), jnp.uint8)])
+    is_query = jnp.concatenate([
+        jnp.zeros((n,), jnp.uint8), jnp.ones((m,), jnp.uint8)])
+    back = jnp.concatenate([jnp.arange(n, dtype=jnp.int32),
+                            jnp.arange(m, dtype=jnp.int32)])
+    ctl = jnp.concatenate([b_ctl, p_ctl])
+    keys = [jnp.concatenate([b, q]) for b, q in zip(bkeys, pkeys)]
+
+    res = jax.lax.sort(tuple([flag] + keys + [is_query, back, ctl]),
+                       num_keys=1 + len(keys) + 1, is_stable=True)
+    s_keys = res[:1 + len(keys)]     # flag word participates in runs
+    s_isq = res[-3].astype(jnp.int32)
+    s_back = res[-2]
+    s_ctl = res[-1]
+
+    is_build = 1 - s_isq
+    nbuild_before = jnp.cumsum(is_build, dtype=jnp.int32) - is_build
+
+    key_change = jnp.zeros((L,), jnp.bool_).at[0].set(True)
+    for k in s_keys:
+        key_change = jnp.logical_or(
+            key_change,
+            jnp.concatenate([jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]]))
+    run_lower = jax.lax.cummax(jnp.where(key_change, nbuild_before, -1))
+
+    isq = s_isq == 1
+    matchable = (s_ctl & 1) != 0
+    live = (s_ctl & 2) != 0
+    cnt = jnp.where(jnp.logical_and(isq, matchable),
+                    nbuild_before - run_lower, 0)
+    has_match = cnt > 0
+    emit = cnt
+    if how in ("left", "full"):
+        emit = jnp.where(isq & live & (cnt == 0), 1, emit)
+    if how == "full":
+        run_id = jnp.cumsum(key_change, dtype=jnp.int32) - 1
+        qrun = jnp.where(isq & matchable, run_id, jnp.int32(2**31 - 1))
+        b_matched = jax.lax.cummin(qrun, reverse=True) == run_id
+        emit = jnp.where(~isq & live & ~b_matched, 1, emit)
+
+    offsets = jnp.cumsum(emit, dtype=jnp.int32) - emit
+    total = offsets[-1] + emit[-1]
+    flag_bits = (s_isq << 1) | has_match.astype(jnp.int32)
+    return total, emit, offsets, s_back, run_lower, flag_bits
 
 
 def join(left: Table, right: Table, left_on: Sequence[str],
