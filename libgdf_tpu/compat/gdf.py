@@ -389,13 +389,21 @@ def gdf_hash(num_cols, input_columns, hash_fn="murmur3"):
 
 
 def gpu_hash_columns(columns_to_hash, num_columns=None):
-    """≅ gpu_hash_columns (src/hashops.cu:25-120, FNV variant — served by
-    the same row-hash surface; Murmur3 placement is the engine-wide
-    contract)."""
+    """≅ gpu_hash_columns (src/hashops.cu:25-120): row-wise 64-bit FNV-1a
+    over the columns' bytes (bit-exact, incl. the reference's
+    sign-extended-char xor), stored in an INT64-backed column with an
+    all-on validity mask ANDed with the inputs' masks (hashops.cu:128+)."""
     cols = list(columns_to_hash)
     if num_columns is not None:
         cols = cols[:num_columns]
-    return gdf_hash(len(cols), cols)
+    h = ops.fnv1a_64_columns(cols)
+    valid = None
+    for c in cols:
+        if isinstance(c, Column) and c.valid is not None:
+            valid = c.valid if valid is None else (valid & c.valid)
+    data = h.astype(jnp.int64)  # modular convert == bitcast (core/bits.py)
+    return Column(data=data, valid=valid,
+                  info=DtypeInfo(GDFDtype.INT64), name="hash")
 
 
 def gdf_hash_partition(num_input_cols, input_columns, columns_to_hash,

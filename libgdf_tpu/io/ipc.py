@@ -58,13 +58,24 @@ class IpcParser:
             return
         try:
             pa = self._pa
-            stream = self._schema_bytes + bytes(rb_bytes)
-            reader = pa.ipc.open_stream(pa.BufferReader(stream))
-            batches = list(reader)
-            require(len(batches) > 0, GDFStatus.GDF_C_ERROR,
-                    "no record batches")
-            batch = batches[0]
             self._data = bytes(rb_bytes)
+            # Zero-copy parse so Arrow buffer addresses resolve to offsets
+            # into the record-batch blob — the same per-buffer layout the
+            # reference computes from the device-side flatbuffer header
+            # (ipc.cu:167-200, jsonify_buffer data/null offset+length).
+            blob = pa.py_buffer(self._data)
+            message = pa.ipc.read_message(blob)
+            batch = pa.ipc.read_record_batch(message, self._schema)
+            body = message.body
+            # Body offset within the blob (≅ get_data_offset, ipc.cu:162).
+            self._data_offset = int(body.address - blob.address)
+
+            def buf_desc(buf):
+                if buf is None:
+                    return {"length": 0, "offset": 0}
+                return {"length": int(buf.size),
+                        "offset": int(buf.address - body.address)}
+
             cols, layout = [], []
             for i, f in enumerate(self._schema):
                 arr = batch.column(i)
@@ -79,11 +90,15 @@ class IpcParser:
                 else:
                     col = Column.from_array(np_vals, name=f.name)
                 cols.append(col)
+                buffers = arr.buffers()  # primitive layout: [validity, data]
                 layout.append({
                     "name": f.name, "length": len(arr),
                     "null_count": int(arr.null_count),
                     "dtype": {"name": str(f.type),
                               "bitwidth": np_vals.dtype.itemsize * 8},
+                    "data_buffer": buf_desc(
+                        buffers[1] if len(buffers) > 1 else None),
+                    "null_buffer": buf_desc(buffers[0]),
                 })
             self._table = Table.from_columns(cols)
             self._layout_json = json.dumps({"columns": layout})

@@ -13,8 +13,8 @@ from .reductions import reduce, sum, min, max, product, sum_of_squares
 from .scan import prefixsum
 from .compaction import apply_stencil, filter_table
 from .hashing import (
-    murmur3_32, hash_combine, hash_columns, hash_table_rows,
-    hash_partition, partition_ids, partition_sizes,
+    murmur3_32, fnv1a_64_columns, hash_combine, hash_columns,
+    hash_table_rows, hash_partition, partition_ids, partition_sizes,
 )
 from .sort import (
     order_by, sort_table, radixsort, segmented_radixsort, radix_encode,

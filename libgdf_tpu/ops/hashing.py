@@ -96,6 +96,35 @@ def murmur3_32(data: jax.Array, seed: int = 0) -> jax.Array:
     return _fmix32(h1)
 
 
+_FNV_OFFSET = jnp.uint64(14695981039346656037)
+_FNV_PRIME = jnp.uint64(1099511628211)
+
+
+def fnv1a_64_columns(columns) -> jax.Array:
+    """Row-wise FNV-1a (64-bit) over the little-endian bytes of every
+    column value, bit-exact with the reference's hash_fnv_array_op
+    (libgdf/src/hashops.cu:25-120) — including its quirk of xoring each
+    byte as a SIGN-EXTENDED char (`hash ^ data[j]` with char data), which
+    standard FNV-1a does not do. Supports widths 1/2/4/8. Returns uint64."""
+    require(len(columns) > 0, GDFStatus.GDF_DATASET_EMPTY)
+    h = None
+    for c in columns:
+        data = c.data if isinstance(c, Column) else jnp.asarray(c)
+        width = data.dtype.itemsize
+        require(width in (1, 2, 4, 8), GDFStatus.GDF_UNSUPPORTED_DTYPE,
+                f"fnv width {width}")
+        u = to_unsigned_bits(data)
+        if h is None:
+            h = jnp.full(data.shape, _FNV_OFFSET, jnp.uint64)
+        for j in range(width):
+            byte = ((u >> (8 * j)) & jnp.asarray(0xFF, u.dtype)).astype(
+                jnp.uint8)
+            # sign-extend like the reference's `char` xor
+            sx = byte.astype(jnp.int8).astype(jnp.int64).astype(jnp.uint64)
+            h = (h ^ sx) * _FNV_PRIME
+    return h
+
+
 def identity_hash_32(data: jax.Array) -> jax.Array:
     """≅ IdentityHash (hash_functions.cuh:129-161): static_cast to u32."""
     return data.astype(jnp.uint32)

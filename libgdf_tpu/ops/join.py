@@ -55,7 +55,6 @@ from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
 from .sort import radix_encode
-from .sorted_search import merge_match_ranges
 
 # ---------------------------------------------------------------------------
 # Key normalization
@@ -138,34 +137,6 @@ def lex_searchsorted(sorted_keys, query_keys, side: str) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _match_ranges(probe: Table, probe_on, build: Table, build_on):
-    """Sort the build side, search every probe row. Returns
-    (build_perm, lower, upper) with upper==lower for no-match rows."""
-    require(len(probe_on) == len(build_on) and len(probe_on) > 0,
-            GDFStatus.GDF_JOIN_DTYPE_MISMATCH, "key column count mismatch")
-    for a, b in zip(probe_on, build_on):
-        require(probe.column(a).info.gdf_dtype ==
-                build.column(b).info.gdf_dtype,
-                GDFStatus.GDF_JOIN_DTYPE_MISMATCH,
-                f"join key dtype mismatch {a}/{b}")
-    bkeys, b_nomatch = _join_keys(build, build_on)
-    pkeys, p_nomatch = _join_keys(probe, probe_on)
-    nb = build.capacity
-
-    # ONE merged sort computes the build permutation and both bounds
-    # (ops/sorted_search.py). A leading participation-flag key word puts
-    # no-match build rows at the end of the build order, outside every
-    # query's equal-key range (queries carry flag 0).
-    bflag = (jnp.zeros((nb,), jnp.uint8) if b_nomatch is None
-             else b_nomatch.astype(jnp.uint8))
-    qflag = jnp.zeros((probe.capacity,), jnp.uint8)
-    build_perm, lower, upper = merge_match_ranges(
-        [bflag] + bkeys, [qflag] + pkeys)
-    if p_nomatch is not None:
-        upper = jnp.where(p_nomatch, lower, upper)
-    return build_perm, lower, upper, p_nomatch
-
-
 def join_indices(left: Table, right: Table, left_on: Sequence[str],
                  right_on: Sequence[str], how: str = "inner",
                  out_capacity: int | None = None):
@@ -202,9 +173,9 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
 
     n, m = right.capacity, left.capacity
     L = n + m
-    require(L < (1 << 29), GDFStatus.GDF_COLUMN_SIZE_TOO_BIG,
-            "single-shard join capped at 2^29 combined rows "
-            "(packed emit payload); shard over a mesh instead")
+    # No combined-rows ceiling: the emit payload is packed into int64
+    # (positions to 2^61), strictly beyond the reference's int32 output cap
+    # (joining.cu:32-35) which SURVEY §5 bans inheriting.
 
     bkeys, b_nomatch = _join_keys(right, right_on)
     pkeys, p_nomatch = _join_keys(left, left_on)
@@ -236,6 +207,15 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
             raise ValueError(
                 "join under jit requires a static out_capacity") from None
     cap = int(out_capacity)
+    # Capacity-overflow contract (no silent truncation): eagerly this
+    # raises; under jit the caller must check `count <= out_capacity`
+    # (the count returned is always EXACT — see parallel/distributed.py
+    # dist_join for the recover-by-resize pattern).
+    try:
+        require(int(total) <= cap, GDFStatus.GDF_COLUMN_SIZE_TOO_BIG,
+                f"join output {int(total)} rows > out_capacity {cap}")
+    except jax.errors.ConcretizationTypeError:
+        pass
     if cap == 0 or L == 0:
         neg = jnp.full((cap,), -1, jnp.int32)
         return neg, neg, total
@@ -254,15 +234,17 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     # ---- emit inversion: output slot j → sorted position p(j) ----------
     # One scatter-max of a packed payload (p, is_query, has_match) at each
     # emitting position's output offset, then running-max propagation.
-    p = jnp.arange(L, dtype=jnp.int32)
-    payload = ((p + 1) << 2) | flag_bits        # p+1: payload 0 = no slot
+    # int64 payload: (p+1)<<2 holds positions to 2^61 — no 2^29/2^31 shard
+    # ceiling (the reference's int32 cap, joining.cu:32-35, not inherited).
+    p = jnp.arange(L, dtype=jnp.int64)
+    payload = ((p + 1) << 2) | flag_bits.astype(jnp.int64)
     src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
-    inv0 = jnp.zeros((cap,), jnp.int32).at[src].max(payload, mode="drop")
+    inv0 = jnp.zeros((cap,), jnp.int64).at[src].max(payload, mode="drop")
     inv = jax.lax.cummax(inv0)
     j = jnp.arange(cap, dtype=jnp.int32)
     base = jax.lax.cummax(jnp.where(inv0 > 0, j, -1))
     rank = j - base
-    pj = jnp.maximum((inv >> 2) - 1, 0)
+    pj = jnp.maximum((inv >> 2) - 1, 0).astype(jnp.int32)
     from_query = (inv & 2) != 0
     matched = (inv & 1) != 0
 
@@ -349,7 +331,10 @@ def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
         emit = jnp.where(~isq & live & ~b_matched, 1, emit)
 
     offsets = jnp.cumsum(emit, dtype=jnp.int32) - emit
-    total = offsets[-1] + emit[-1]
+    # Exact count in int64 — never wraps even when the int32 offsets would
+    # (rows past the caller's capacity are dropped by the scatter, but the
+    # returned count is always true, so overflow is detectable).
+    total = jnp.sum(emit, dtype=jnp.int64)
     flag_bits = (s_isq << 1) | has_match.astype(jnp.int32)
     return total, emit, offsets, s_back, run_lower, flag_bits
 

@@ -188,3 +188,61 @@ def test_murmur3_64bit_dtypes(rng):
         expect = np.array([mmh3_py(v.tobytes()) for v in arr],
                           dtype=np.uint32)
         np.testing.assert_array_equal(h, expect)
+
+
+# ---------------------------------------------------------------------------
+# FNV-1a 64 (gpu_hash_columns, hashops.cu:25-120)
+# ---------------------------------------------------------------------------
+
+M64 = (1 << 64) - 1
+
+
+def fnv1a_ref(row_vals_and_widths):
+    """Oracle replicating the reference's hash_fnv_array_op exactly:
+    little-endian bytes, each byte xored as a SIGN-EXTENDED char."""
+    h = 14695981039346656037
+    for val, width in row_vals_and_widths:
+        raw = int(val) & ((1 << (8 * width)) - 1)
+        for j in range(width):
+            byte = (raw >> (8 * j)) & 0xFF
+            sx = byte if byte < 0x80 else byte | (M64 ^ 0xFF)  # sign-extend
+            h = ((h ^ sx) * 1099511628211) & M64
+    return h
+
+
+@pytest.mark.parametrize("dtype", [np.int8, np.int16, np.int32, np.int64,
+                                   np.float32, np.float64])
+def test_fnv1a_bit_exact(dtype, rng):
+    n = 64
+    if np.issubdtype(dtype, np.floating):
+        vals = rng.standard_normal(n).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        vals = rng.integers(info.min, info.max, n).astype(dtype)
+    got = np.asarray(ops.fnv1a_64_columns([jnp.asarray(vals)]))
+    width = np.dtype(dtype).itemsize
+    for i in range(n):
+        raw = int(np.frombuffer(vals[i:i + 1].tobytes(), dtype=np.uint64
+                                if width == 8 else np.uint32 if width == 4
+                                else np.uint16 if width == 2 else np.uint8
+                                )[0])
+        assert int(got[i]) == fnv1a_ref([(raw, width)]), (dtype, i)
+
+
+def test_fnv1a_multi_column(rng):
+    a = rng.integers(-100, 100, 16).astype(np.int32)
+    b = rng.integers(0, 1 << 15, 16).astype(np.int16)
+    got = np.asarray(ops.fnv1a_64_columns([jnp.asarray(a), jnp.asarray(b)]))
+    for i in range(16):
+        want = fnv1a_ref([(int(a[i]) & 0xFFFFFFFF, 4),
+                          (int(b[i]) & 0xFFFF, 2)])
+        assert int(got[i]) == want
+
+
+def test_gpu_hash_columns_compat(rng):
+    from libgdf_tpu.compat import gdf as compat
+    a = Column.from_array(rng.integers(0, 100, 8).astype(np.int64))
+    out = compat.gpu_hash_columns([a])
+    assert out.data.dtype == jnp.int64
+    want = np.asarray(ops.fnv1a_64_columns([a])).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(out.data), want)

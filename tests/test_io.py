@@ -148,3 +148,48 @@ def test_gdf_to_csr(rng):
     nnz = int(csr.nnz)
     np.testing.assert_array_equal(np.asarray(csr.JA)[:nnz], [0, 1, 0, 1])
     np.testing.assert_allclose(np.asarray(csr.A)[:nnz], [1.0, 4.0, 2.0, 5.0])
+
+
+def test_ipc_layout_offsets(rng):
+    """Per-buffer offsets in the layout JSON index into the record-batch
+    blob at data_offset + offset (≅ ipc.cu:167-200 zero-copy views,
+    reference python/tests/test_ipc.py:52-70)."""
+    pa = pytest.importorskip("pyarrow")
+    a = rng.integers(0, 1 << 30, 64).astype(np.int32)
+    mask = rng.random(64) < 0.3
+    b = rng.standard_normal(64)
+    batch = pa.record_batch({
+        "a": pa.array(a),
+        "b": pa.array(np.where(mask, np.nan, b), mask=mask),
+    })
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    stream = sink.getvalue().to_pybytes()
+    import pyarrow.ipc as paipc
+    first = paipc.read_message(pa.BufferReader(stream))
+    schema_len = first.serialize().size
+    handle = ipc_mod.gdf_ipc_parser_open(stream[:schema_len])
+    rb = stream[schema_len:]
+    ipc_mod.gdf_ipc_parser_open_recordbatches(handle, rb)
+    assert not ipc_mod.gdf_ipc_parser_failed(handle), \
+        ipc_mod.gdf_ipc_parser_get_error(handle)
+    layout = json.loads(ipc_mod.gdf_ipc_parser_get_layout_json(handle))
+    base = ipc_mod.gdf_ipc_parser_get_data_offset(handle)
+    assert base > 0
+    cols = layout["columns"]
+    # data buffer of column a: raw int32 bytes at the stated offset
+    da = cols[0]["data_buffer"]
+    assert da["length"] >= a.nbytes
+    got = np.frombuffer(rb, np.int32, count=64,
+                        offset=base + da["offset"])
+    np.testing.assert_array_equal(got, a)
+    # null buffer of column b: Arrow validity bitmap (LSB-first, 1=valid)
+    nb = cols[1]["null_buffer"]
+    assert nb["length"] > 0
+    bits = np.unpackbits(
+        np.frombuffer(rb, np.uint8, count=(64 + 7) // 8,
+                      offset=base + nb["offset"]), bitorder="little")[:64]
+    np.testing.assert_array_equal(bits.astype(bool), ~mask)
+    # no-null column: empty null buffer descriptor is allowed
+    assert "data_buffer" in cols[1]
