@@ -94,6 +94,51 @@ def to_unsigned_bits(data: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(data, udt)
 
 
+def f64_from_ieee_bits(bits: jax.Array) -> jax.Array:
+    """Inverse of f64_ieee_bits: reconstruct float64 values from their
+    IEEE-754 bit pattern using only exact arithmetic (no 64-bit bitcast).
+    Denormal payloads decode to 0 (matching the forward canonicalization)."""
+    assert bits.dtype == jnp.uint64, bits.dtype
+    sign = (bits >> 63) != 0
+    e = ((bits >> 52) & jnp.uint64(0x7FF)).astype(jnp.int64)
+    frac = (bits & jnp.uint64((1 << 52) - 1)).astype(jnp.int64)
+    nan = jnp.logical_and(e == 0x7FF, frac != 0)
+    inf = jnp.logical_and(e == 0x7FF, frac == 0)
+    zero = e == 0
+
+    # mantissa in [1, 2): exact (frac < 2^52, scale by 2^-52 exact).
+    m = jnp.float64(1.0) + frac.astype(jnp.float64) * jnp.float64(2.0 ** -52)
+    ee = jnp.where(zero | (e == 0x7FF), jnp.int64(1023), e) - 1023
+    # Scale by 2^ee via exact power-of-two multiplies.
+    for k in _EXP_STEPS:
+        up = ee >= k
+        m = jnp.where(up, m * jnp.float64(2.0 ** k), m)
+        ee = jnp.where(up, ee - k, ee)
+    for k in _EXP_STEPS:
+        dn = ee <= -k
+        m = jnp.where(dn, m * jnp.float64(2.0 ** -k), m)
+        ee = jnp.where(dn, ee + k, ee)
+    m = jnp.where(zero, jnp.float64(0.0), m)
+    m = jnp.where(inf, jnp.float64(jnp.inf), m)
+    m = jnp.where(nan, jnp.float64(jnp.nan), m)
+    return jnp.where(sign, -m, m)
+
+
+def from_unsigned_bits(u: jax.Array, dtype) -> jax.Array:
+    """Inverse of to_unsigned_bits: reinterpret the unsigned bit pattern
+    as `dtype`, avoiding 64-bit bitcasts (TPU-safe)."""
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64:
+        return f64_from_ieee_bits(u)
+    if dtype.kind in "iu" and dtype.itemsize == 8:
+        return u.astype(dtype)  # modular convert == bitcast
+    if dtype == jnp.bool_:
+        return u != 0
+    if dtype.kind == "u":
+        return u.astype(dtype)
+    return jax.lax.bitcast_convert_type(u, dtype)
+
+
 def u64_words(u: jax.Array):
     """(lo32, hi32) uint32 words of a uint64 array, arithmetic-only."""
     assert u.dtype == jnp.uint64, u.dtype

@@ -5,12 +5,12 @@
     stencil != 0 AND the stencil's own validity bit is set;
   - gpu_concat (:389-503): concatenation incl. bit-level mask stitching.
 
-TPU design: no atomics, no copy_if. The compaction permutation is computed
-with ONE stable sort on a 1-byte key (`drop_flag`) via jax.lax.sort — kept
-rows sort to the front in original order; the survivor count is a fused
-popcount. XLA's TPU sort is vastly faster than element-scatters (which
-serialize on TPU), and the permutation is reused across all columns of a
-table. Output keeps the static capacity; `num_rows` carries the live count
+TPU design: no atomics, no copy_if. Kept rows sort to the front (stable)
+with ONE fused multi-payload sort on a 1-byte key (`drop_flag`): every
+column's data and validity ride through the sort as payload operands —
+measured 4-10x cheaper than sorting indices and gathering (see
+ops/engine.py cost model). The survivor count is a fused popcount. Output
+keeps the static capacity; `num_rows` carries the live count
 (capacity+count pattern — see core/table.py).
 """
 from __future__ import annotations
@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
+from .engine import multi_sort
 
 
 def compaction_indices(keep: jax.Array):
@@ -34,6 +35,37 @@ def compaction_indices(keep: jax.Array):
     _, perm = jax.lax.sort((drop, iota), num_keys=1, is_stable=True)
     count = jnp.sum(keep, dtype=jnp.int32)
     return perm, count
+
+
+def compact_table(table: Table, keep: jax.Array):
+    """Move rows where `keep` to the front (stable), all columns in ONE
+    fused payload sort. Returns (Table with original capacity, count)."""
+    n = table.capacity
+    drop = jnp.logical_not(keep).astype(jnp.uint8)
+    ops_list, layout = [drop], []
+    for c in table.columns:
+        ops_list.append(c.data)
+        if c.valid is not None:
+            ops_list.append(c.valid)
+            layout.append(2)
+        else:
+            layout.append(1)
+    res = multi_sort(ops_list, num_keys=1)
+    cols, i = [], 1
+    for c, w in zip(table.columns, layout):
+        data = res[i]
+        valid = res[i + 1] if w == 2 else None
+        i += w
+        cols.append(Column(data=data, valid=valid, info=c.info, name=c.name))
+    count = jnp.sum(keep, dtype=jnp.int32)
+    return Table(columns=tuple(cols), names=table.names), count
+
+
+def compact_arrays(arrays, keep: jax.Array):
+    """compact_table for raw arrays: returns (compacted arrays, count)."""
+    drop = jnp.logical_not(keep).astype(jnp.uint8)
+    res = multi_sort([drop] + list(arrays), num_keys=1)
+    return res[1:], jnp.sum(keep, dtype=jnp.int32)
 
 
 def stencil_keep_mask(stencil: Column) -> jax.Array:
@@ -52,10 +84,11 @@ def apply_stencil(col: Column, stencil: Column):
     ≅ gdf_apply_stencil (streamcompactionops.cu:163-260)."""
     require(col.size == stencil.size, GDFStatus.GDF_COLUMN_SIZE_MISMATCH)
     keep = stencil_keep_mask(stencil)
-    perm, count = compaction_indices(keep)
-    data = jnp.take(col.data, perm)
-    valid = None if col.valid is None else jnp.take(col.valid, perm)
-    return col.with_data(data).with_valid(valid), count
+    if col.valid is not None:
+        arrays, count = compact_arrays([col.data, col.valid], keep)
+        return col.with_data(arrays[0]).with_valid(arrays[1]), count
+    arrays, count = compact_arrays([col.data], keep)
+    return col.with_data(arrays[0]).with_valid(None), count
 
 
 def filter_table(table: Table, stencil: Column) -> Table:
@@ -66,6 +99,5 @@ def filter_table(table: Table, stencil: Column) -> Table:
     keep = stencil_keep_mask(stencil)
     if table.num_rows is not None:
         keep = jnp.logical_and(keep, table.live_mask())
-    perm, count = compaction_indices(keep)
-    out = table.gather(perm)
+    out, count = compact_table(table, keep)
     return out.with_num_rows(count)

@@ -14,16 +14,22 @@
 
 TPU design: the CAS-aggregation hash map has no TPU analogue (no global
 atomics), and the sort path is the naturally vector-friendly formulation —
-so there is ONE implementation, sort-based:
+so there is ONE implementation, sort-based, built on the ops/engine.py
+cost model (sorts carry payloads; gathers and scatter-adds are banned):
 
-    encode keys → one stable multi-key sort → group boundaries =
-    adjacent-difference → segment ids = prefix sum → jax.ops.segment_sum/
-    min/max (XLA's fused segmented reductions) → group representatives via
-    one compaction.
+    sort 1: encode keys → one stable multi-key sort CARRYING the agg
+            columns as payload operands;
+    group boundaries = adjacent-difference of sorted encodings;
+    per-agg segmented scans (seg_scan_sum/min/max — associative scans,
+            ~40x faster than jax.ops.segment_sum's scatter-add); the value
+            at each segment's LAST row is the aggregate;
+    sort 2: one compaction sort keeps the segment-last rows — key values
+            are DECODED from the sorted encodings (radix_decode), never
+            gathered.
 
   The hash path's contention regimes (AllKeysSame / WarpKeysSame gtest
   stress patterns, tests/groupby/groupby-test.cu:369-441) are non-issues
-  here: a segment reduction's cost is independent of key skew.
+  here: a segmented scan's cost is independent of key skew.
 
   Output is sorted by key for free (the reference offers this as the
   optional flag_sort_result post-pass, groupby_compute_api.h:211-222).
@@ -45,9 +51,10 @@ from ..core.column import Column
 from ..core.dtypes import DtypeInfo, GDFDtype
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
-from .compaction import compaction_indices
+from .compaction import compact_arrays
+from .engine import multi_sort, seg_scan_max, seg_scan_min, seg_scan_sum
 from .join import mask_or
-from .sort import radix_encode
+from .sort import radix_decode, radix_encode
 
 AGG_OPS = ("sum", "min", "max", "avg", "count", "count_distinct")
 
@@ -81,139 +88,202 @@ def groupby(table: Table, key_names: Sequence[str],
     n = table.capacity
     key_cols = [table.column(k) for k in key_names]
 
-    # --- sort rows by keys (null/dead rows to the end) ---
-    drop = None
+    # --- row disposition: dropped rows sort last; kept-null rows (when
+    # dropna=False) each become their own group, NULL != NULL — the
+    # semantics gdf_table::rows_equal implies (gdf_table.cuh:588-591). ---
+    null_key = None
     for c in key_cols:
         if c.valid is not None:
-            drop = mask_or(drop, jnp.logical_not(c.valid))
-    if not dropna and drop is not None:
-        # Keep null-key rows: each becomes its own group, NULL != NULL —
-        # the semantics gdf_table::rows_equal would imply
-        # (gdf_table.cuh:588-591).
-        null_rows = drop
-        drop = None
-    else:
-        null_rows = None
+            null_key = mask_or(null_key, jnp.logical_not(c.valid))
+    drop = None if not dropna else null_key
     if table.num_rows is not None:
         drop = mask_or(drop, jnp.logical_not(table.live_mask()))
-    dropped = (jnp.zeros((n,), jnp.uint8) if drop is None
-               else drop.astype(jnp.uint8))
 
+    # --- sort 1: keys + every payload in ONE fused sort ---
     enc_keys = []
     for c in key_cols:
         data = c.data
         if jnp.issubdtype(data.dtype, jnp.floating):
             data = jnp.where(data == 0, jnp.zeros_like(data), data)
         enc_keys.append(radix_encode(data, ascending=True))
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sorted_ops = jax.lax.sort(tuple([dropped] + enc_keys + [iota]),
-                              num_keys=1 + len(enc_keys), is_stable=True)
-    s_dropped = sorted_ops[0].astype(jnp.bool_)
-    s_keys = list(sorted_ops[1:-1])
-    perm = sorted_ops[-1]
+
+    operands = []
+    packed_first = False
+    if drop is not None:
+        if enc_keys[0].dtype.itemsize <= 4:
+            operands.append((drop.astype(jnp.uint64) << 32)
+                            | enc_keys[0].astype(jnp.uint64))
+            operands.extend(enc_keys[1:])
+            packed_first = True
+        else:
+            operands.append(drop.astype(jnp.uint8))
+            operands.extend(enc_keys)
+    else:
+        operands.extend(enc_keys)
+    nk = len(operands)
+
+    payloads = []  # (kind, *meta) descriptors, parallel to operand slots
+
+    def add_payload(arr):
+        operands.append(arr)
+        return len(operands) - 1
+
+    key_valid_slots = {}
+    if not dropna:
+        for name, c in zip(key_names, key_cols):
+            if c.valid is not None:
+                key_valid_slots[name] = add_payload(c.valid)
+    agg_slots = {}
+    for spec in aggs:
+        col_name = spec[0]
+        if col_name in agg_slots:
+            continue
+        acol = table.column(col_name)
+        dslot = add_payload(acol.data)
+        vslot = (add_payload(acol.valid)
+                 if acol.valid is not None else None)
+        agg_slots[col_name] = (dslot, vslot)
+
+    res = multi_sort(tuple(operands), num_keys=nk)
+
+    if drop is not None and packed_first:
+        s_dropped = (res[0] >> 32) != 0
+        s_enc = [res[0].astype(enc_keys[0].dtype)] + list(res[1:nk])
+    elif drop is not None:
+        s_dropped = res[0] != 0
+        s_enc = list(res[1:nk])
+    else:
+        s_dropped = jnp.zeros((n,), jnp.bool_)
+        s_enc = list(res[:nk])
 
     # --- group boundaries (≅ reduce_by_key's equality predicate) ---
-    new_group = jnp.zeros((n,), jnp.bool_).at[0].set(True)
-    for k in s_keys:
-        new_group = jnp.logical_or(new_group, k != jnp.roll(k, 1))
-    if null_rows is not None:
-        s_null = jnp.take(null_rows, perm)
+    first = jnp.zeros((n,), jnp.bool_).at[0].set(True)
+    new_group = first
+    for k in s_enc:
+        new_group = jnp.logical_or(
+            new_group,
+            jnp.concatenate([first[:1], k[1:] != k[:-1]]))
+    if not dropna and key_valid_slots:
+        s_null = jnp.zeros((n,), jnp.bool_)
+        for name in key_valid_slots:
+            s_null = jnp.logical_or(
+                s_null, jnp.logical_not(res[key_valid_slots[name]]))
         # a null-key row always starts (and ends) its own group
         new_group = jnp.logical_or(new_group, s_null)
-        new_group = jnp.logical_or(new_group,
-                                   jnp.roll(s_null, 1).at[0].set(False))
-    new_group = jnp.logical_and(new_group, jnp.logical_not(s_dropped))
+        new_group = jnp.logical_or(
+            new_group,
+            jnp.concatenate([first[:1], s_null[:-1]]))
 
-    seg = jnp.cumsum(new_group, dtype=jnp.int32) - 1           # [-1..G-1]
-    # dropped rows → segment n (out of range of every output)
-    seg = jnp.where(s_dropped, n, jnp.maximum(seg, 0))
-    num_groups = jnp.sum(new_group, dtype=jnp.int32)
-
-    # --- group representative rows → output key columns ---
-    starts, _ = compaction_indices(new_group)
-    rep = jnp.take(perm, starts)   # original row index of each group head
-    out_cols = [
-        _gather_out(c, rep).with_name(name)
-        for name, c in zip(key_names, key_cols)
-    ]
-
-    # --- aggregations: one segment reduction per agg ---
+    scan_starts = jnp.logical_or(new_group, s_dropped)
+    is_last = jnp.concatenate(
+        [scan_starts[1:], jnp.ones((1,), jnp.bool_)])
+    keep = jnp.logical_and(is_last, jnp.logical_not(s_dropped))
+    num_groups = jnp.sum(keep, dtype=jnp.int32)
     group_live = jnp.arange(n, dtype=jnp.int32) < num_groups
+
+    # --- outputs at segment-last rows: key decode + agg scans ---
+    out_arrays, builders = [], []
+
+    def add_out(arr, build):
+        out_arrays.append(arr)
+        builders.append(build)
+
+    for name, c, enc in zip(key_names, key_cols, s_enc):
+        kv_slot = key_valid_slots.get(name)
+
+        def build_key(xs, c=c, kv=kv_slot is not None, name=name):
+            data = xs[0]
+            if kv:
+                valid = jnp.logical_and(xs[1], group_live)
+            else:
+                valid = None if c.valid is None else group_live
+            return Column(data=data, valid=valid, info=c.info, name=name)
+
+        arrs = [radix_decode(enc, c.data.dtype)]
+        if kv_slot is not None:
+            arrs.append(res[kv_slot])
+        add_out(arrs, build_key)
+
     for spec in aggs:
         col_name, op = spec[0], spec[1]
         out_name = spec[2] if len(spec) > 2 else f"{op}_{col_name}"
-        acol = table.column(col_name)
-        vals = jnp.take(acol.data, perm)
-        avalid = (None if acol.valid is None
-                  else jnp.take(acol.valid, perm))
-        out_cols.append(_segment_agg(
-            vals, avalid, seg, n, op, group_live).with_name(out_name))
+        dslot, vslot = agg_slots[col_name]
+        vals = res[dslot]
+        avalid = None if vslot is None else res[vslot]
+        arrs, build = _scan_agg(vals, avalid, scan_starts, op,
+                                group_live, out_name)
+        add_out(arrs, build)
 
-    out = Table.from_columns(out_cols, num_rows=num_groups)
-    return out
+    # --- sort 2: ONE compaction sort over every output array ---
+    flat, shapes = [], []
+    for arrs in out_arrays:
+        shapes.append(len(arrs))
+        flat.extend(arrs)
+    compacted, _ = compact_arrays(flat, keep)
+    cols, i = [], 0
+    for cnt, build in zip(shapes, builders):
+        cols.append(build(compacted[i:i + cnt]))
+        i += cnt
+    return Table.from_columns(cols, num_rows=num_groups)
 
 
-def _gather_out(c: Column, rep) -> Column:
-    data = jnp.take(c.data, rep)
-    valid = None if c.valid is None else jnp.take(c.valid, rep)
-    return Column(data=data, valid=valid, info=c.info, name=c.name)
-
-
-def _segment_agg(vals, avalid, seg, num_segments, op, group_live) -> Column:
-    """One fused segmented reduction (≅ build_aggregation_table's CAS loop,
-    groupby_kernels.cuh:42-108, minus the atomics)."""
+def _scan_agg(vals, avalid, starts, op, group_live, out_name):
+    """Per-row segmented scans whose segment-last values are the
+    aggregates (≅ thrust::reduce_by_key, sqls_rtti_comp.hpp:468-509, and
+    the CAS loop of build_aggregation_table, groupby_kernels.cuh:42-108 —
+    minus the atomics). Returns (arrays to compact, builder)."""
     from ..core.dtypes import dtype_from_numpy
 
     if op in ("count", "count_distinct"):
         ones = (jnp.ones(vals.shape, jnp.int32) if avalid is None
                 else avalid.astype(jnp.int32))
-        out = jax.ops.segment_sum(ones, seg, num_segments=num_segments + 1,
-                                    indices_are_sorted=True)
-        return Column(data=out[:num_segments].astype(jnp.int64),
-                      valid=group_live, info=DtypeInfo(GDFDtype.INT64))
+        cnt = seg_scan_sum(ones, starts)
+
+        def build(xs):
+            return Column(data=xs[0].astype(jnp.int64), valid=xs[1],
+                          info=DtypeInfo(GDFDtype.INT64), name=out_name)
+        return [cnt, group_live], build
 
     if op == "avg":
         # ≅ multi_pass_avg (groupby.cuh:308-419): sum + count, divide.
         fvals = vals.astype(jnp.float64)
         if avalid is not None:
             fvals = jnp.where(avalid, fvals, 0.0)
-            cnt = jax.ops.segment_sum(avalid.astype(jnp.int32), seg,
-                                      num_segments=num_segments + 1,
-                                      indices_are_sorted=True)
+            ones = avalid.astype(jnp.int32)
         else:
-            cnt = jax.ops.segment_sum(jnp.ones(vals.shape, jnp.int32), seg,
-                                      num_segments=num_segments + 1,
-                                      indices_are_sorted=True)
-        tot = jax.ops.segment_sum(fvals, seg, num_segments=num_segments + 1,
-                                  indices_are_sorted=True)
-        cnt = cnt[:num_segments]
-        avg = tot[:num_segments] / jnp.maximum(cnt, 1)
-        valid = jnp.logical_and(group_live, cnt > 0)
-        return Column(data=avg, valid=valid,
-                      info=DtypeInfo(GDFDtype.FLOAT64))
+            ones = jnp.ones(vals.shape, jnp.int32)
+        tot = seg_scan_sum(fvals, starts)
+        cnt = seg_scan_sum(ones, starts)
+        avg = tot / jnp.maximum(cnt, 1)
+        okay = cnt > 0
+
+        def build(xs):
+            valid = jnp.logical_and(group_live, xs[1])
+            return Column(data=xs[0], valid=valid,
+                          info=DtypeInfo(GDFDtype.FLOAT64), name=out_name)
+        return [avg, okay], build
 
     ident = _agg_identity(op, vals.dtype)
     if avalid is not None:
         vals = jnp.where(avalid, vals, ident)
     if op == "sum":
-        out = jax.ops.segment_sum(vals, seg, num_segments=num_segments + 1,
-                                  indices_are_sorted=True)
+        out = seg_scan_sum(vals, starts)
     elif op == "min":
-        out = jax.ops.segment_min(vals, seg, num_segments=num_segments + 1,
-                                  indices_are_sorted=True)
+        out = seg_scan_min(vals, starts)
     else:
-        out = jax.ops.segment_max(vals, seg, num_segments=num_segments + 1,
-                                  indices_are_sorted=True)
-    out = out[:num_segments]
+        out = seg_scan_max(vals, starts)
+
     if avalid is not None:
-        nvalid = jax.ops.segment_sum(avalid.astype(jnp.int32), seg,
-                                     num_segments=num_segments + 1,
-                                     indices_are_sorted=True)
-        valid = jnp.logical_and(group_live, nvalid[:num_segments] > 0)
+        nvalid = seg_scan_sum(avalid.astype(jnp.int32), starts)
+        okay = nvalid > 0
     else:
-        valid = group_live
-    return Column(data=out, valid=valid,
-                  info=DtypeInfo(dtype_from_numpy(np.dtype(out.dtype))))
+        okay = jnp.ones(vals.shape, jnp.bool_)
+    info = DtypeInfo(dtype_from_numpy(np.dtype(out.dtype)))
+
+    def build(xs):
+        valid = jnp.logical_and(group_live, xs[1])
+        return Column(data=xs[0], valid=valid, info=info, name=out_name)
+    return [out, okay], build
 
 
 def count_distinct_keys(table: Table, key_names: Sequence[str],

@@ -184,15 +184,36 @@ def hash_partition(table: Table, key_names, num_partitions: int,
         # Dead rows sort after every real partition.
         part = jnp.where(table.live_mask(), part,
                          jnp.int32(num_partitions))
-    n = table.capacity
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sorted_part, perm = jax.lax.sort((part, iota), num_keys=1,
-                                     is_stable=True)
-    out = table.gather(perm, num_rows=table.num_rows)
+    sorted_part, out = partition_apply(table, part)
     offsets = jnp.searchsorted(
         sorted_part, jnp.arange(num_partitions, dtype=jnp.int32),
         side="left").astype(jnp.int32)
     return out, offsets
+
+
+def partition_apply(table: Table, part: jax.Array):
+    """Stable-sort the table by a partition-id column, every column riding
+    through ONE fused payload sort (ops/engine.py cost model — no
+    permutation gathers). Returns (sorted part ids, partitioned Table)."""
+    from .engine import multi_sort
+
+    ops_list, layout = [part], []
+    for c in table.columns:
+        ops_list.append(c.data)
+        if c.valid is not None:
+            ops_list.append(c.valid)
+            layout.append(2)
+        else:
+            layout.append(1)
+    res = multi_sort(ops_list, num_keys=1)
+    cols, i = [], 1
+    for c, w in zip(table.columns, layout):
+        data = res[i]
+        valid = res[i + 1] if w == 2 else None
+        i += w
+        cols.append(Column(data=data, valid=valid, info=c.info, name=c.name))
+    out = Table(columns=tuple(cols), names=table.names)
+    return res[0], out.with_num_rows(table.num_rows)
 
 
 def partition_sizes(part_ids: jax.Array, num_partitions: int,

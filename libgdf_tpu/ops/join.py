@@ -54,6 +54,7 @@ from ..core.bitmask import mask_and
 from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
+from .engine import last_valid_scan, multi_sort
 from .sort import radix_encode
 
 # ---------------------------------------------------------------------------
@@ -196,7 +197,7 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
              else b_nomatch.astype(jnp.uint8))
 
-    total, emit, offsets, s_back, run_lower, flag_bits = _emit_plan(
+    total, emit, offsets, s_back, run_lower, flag_bits, aux = _emit_plan(
         how, bkeys, pkeys, bflag, _ctl(b_nomatch, b_live),
         _ctl(p_nomatch, p_live))
 
@@ -220,49 +221,104 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
         neg = jnp.full((cap,), -1, jnp.int32)
         return neg, neg, total
 
+    isq = aux["isq"]
+    live = aux["live"]
+    matchable = aux["matchable"]
+    cnt = aux["cnt"]
+    is_build = jnp.logical_not(isq)
+
+    # A run's build multiplicity: 1-based build rank within its run. When
+    # every (matchable) run holds <= 1 build row, each probe row matches at
+    # most once and the join needs NO expansion — the dominant real-world
+    # shape (PK-FK joins; the reference optimizes the same case by building
+    # on the unique side, joining.h:57-70).
+    b_rank = jnp.where(jnp.logical_and(is_build, matchable),
+                       aux["nbuild_before"] - run_lower + 1, 0)
+    unique_build = jnp.max(b_rank) <= 1
+
+    def fast_path(_):
+        # Gather-free: propagate the run's single build row id forward
+        # (build rows sort before probes within a run), keep emitting rows
+        # with ONE compaction sort. Emission order matches the general
+        # path (both are merged-key order).
+        b_fill, _seen = last_valid_scan(is_build, s_back)
+        keep = jnp.logical_and(isq, cnt > 0)
+        l_src = jnp.where(isq, s_back, -1)
+        r_src = jnp.where(jnp.logical_and(isq, cnt > 0), b_fill, -1)
+        if how in ("left", "full"):
+            keep = jnp.logical_or(
+                keep, jnp.logical_and(jnp.logical_and(isq, live), cnt == 0))
+        if how == "full":
+            bu = jnp.logical_and(jnp.logical_and(is_build, live),
+                                 jnp.logical_not(aux["b_matched"]))
+            keep = jnp.logical_or(keep, bu)
+            r_src = jnp.where(is_build, s_back, r_src)
+        (l_c, r_c), _cnt2 = _compact2(keep, l_src, r_src)
+        return _fit_cap(l_c, cap), _fit_cap(r_c, cap)
+
+    def general_path(_):
+        # Many-to-many expansion: scatter each emitting position's packed
+        # payload at its output offset, fill forward, rank = slot - base.
+        # int64 payload: (p+1)<<2 holds positions to 2^61 — no 2^29/2^31
+        # shard ceiling (the reference's int32 cap, joining.cu:32-35).
+        p = jnp.arange(L, dtype=jnp.int64)
+        payload = ((p + 1) << 2) | flag_bits.astype(jnp.int64)
+        src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
+        inv0 = jnp.zeros((cap,), jnp.int64).at[src].max(payload, mode="drop")
+        inv = jax.lax.cummax(inv0)
+        j = jnp.arange(cap, dtype=jnp.int32)
+        base = jax.lax.cummax(jnp.where(inv0 > 0, j, -1))
+        rank = j - base
+        pj = jnp.maximum((inv >> 2) - 1, 0).astype(jnp.int32)
+        from_query = (inv & 2) != 0
+        matched = (inv & 1) != 0
+
+        # fused 2-wide row gather: (original row id, run lower) at p(j)
+        sb_lo = jnp.stack([s_back, run_lower], axis=1)[pj]
+        s_back_j, lo_j = sb_lo[:, 0], sb_lo[:, 1]
+
+        r_sorted_pos = jnp.clip(lo_j + rank, 0, max(n - 1, 0))
+        r_from_match = jnp.take(build_perm, r_sorted_pos)
+
+        q = from_query
+        left_idx = jnp.where(q, s_back_j, -1)
+        right_idx = jnp.where(jnp.logical_and(q, matched), r_from_match, -1)
+        if how == "full":
+            b = jnp.logical_not(from_query)
+            right_idx = jnp.where(b, s_back_j, right_idx)
+        return left_idx, right_idx
+
     # Build permutation (sorted-build position → original build row) from
     # a small separate sort of the build side alone; stability makes it
     # positionally consistent with build ranks in the merged order.
     if n > 0:
-        bsort = jax.lax.sort(
+        bsort = multi_sort(
             tuple([bflag] + bkeys + [jnp.arange(n, dtype=jnp.int32)]),
-            num_keys=1 + len(bkeys), is_stable=True)
+            num_keys=1 + len(bkeys))
         build_perm = bsort[-1]
     else:
         build_perm = jnp.zeros((1,), jnp.int32)
 
-    # ---- emit inversion: output slot j → sorted position p(j) ----------
-    # One scatter-max of a packed payload (p, is_query, has_match) at each
-    # emitting position's output offset, then running-max propagation.
-    # int64 payload: (p+1)<<2 holds positions to 2^61 — no 2^29/2^31 shard
-    # ceiling (the reference's int32 cap, joining.cu:32-35, not inherited).
-    p = jnp.arange(L, dtype=jnp.int64)
-    payload = ((p + 1) << 2) | flag_bits.astype(jnp.int64)
-    src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
-    inv0 = jnp.zeros((cap,), jnp.int64).at[src].max(payload, mode="drop")
-    inv = jax.lax.cummax(inv0)
-    j = jnp.arange(cap, dtype=jnp.int32)
-    base = jax.lax.cummax(jnp.where(inv0 > 0, j, -1))
-    rank = j - base
-    pj = jnp.maximum((inv >> 2) - 1, 0).astype(jnp.int32)
-    from_query = (inv & 2) != 0
-    matched = (inv & 1) != 0
-
-    # fused 2-wide row gather: (original row id, run lower bound) at p(j)
-    sb_lo = jnp.stack([s_back, run_lower], axis=1)[pj]
-    s_back_j, lo_j = sb_lo[:, 0], sb_lo[:, 1]
-
-    r_sorted_pos = jnp.clip(lo_j + rank, 0, max(n - 1, 0))
-    r_from_match = jnp.take(build_perm, r_sorted_pos)
-
+    left_idx, right_idx = jax.lax.cond(unique_build, fast_path,
+                                       general_path, 0)
+    j = jnp.arange(cap, dtype=jnp.int64)
     slot_live = j < total
-    q = jnp.logical_and(slot_live, from_query)
-    left_idx = jnp.where(q, s_back_j, -1)
-    right_idx = jnp.where(jnp.logical_and(q, matched), r_from_match, -1)
-    if how == "full":
-        b = jnp.logical_and(slot_live, jnp.logical_not(from_query))
-        right_idx = jnp.where(b, s_back_j, right_idx)
+    left_idx = jnp.where(slot_live, left_idx, -1)
+    right_idx = jnp.where(slot_live, right_idx, -1)
     return left_idx, right_idx, total
+
+
+def _compact2(keep, a, b):
+    """Compact two int32 arrays by `keep` with one fused sort."""
+    from .compaction import compact_arrays
+    return compact_arrays([a, b], keep)
+
+
+def _fit_cap(x, cap):
+    n = x.shape[0]
+    if cap <= n:
+        return x[:cap]
+    return jnp.concatenate([x, jnp.full((cap - n,), -1, x.dtype)])
 
 
 def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
@@ -288,7 +344,7 @@ def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
     L = n + m
     if L == 0:
         z = jnp.zeros((0,), jnp.int32)
-        return jnp.int32(0), z, z, z, z, z
+        return jnp.int32(0), z, z, z, z, z, {}
 
     flag = jnp.concatenate([bflag, jnp.zeros((m,), jnp.uint8)])
     is_query = jnp.concatenate([
@@ -298,8 +354,8 @@ def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
     ctl = jnp.concatenate([b_ctl, p_ctl])
     keys = [jnp.concatenate([b, q]) for b, q in zip(bkeys, pkeys)]
 
-    res = jax.lax.sort(tuple([flag] + keys + [is_query, back, ctl]),
-                       num_keys=1 + len(keys) + 1, is_stable=True)
+    res = multi_sort(tuple([flag] + keys + [is_query, back, ctl]),
+                     num_keys=1 + len(keys) + 1)
     s_keys = res[:1 + len(keys)]     # flag word participates in runs
     s_isq = res[-3].astype(jnp.int32)
     s_back = res[-2]
@@ -322,6 +378,8 @@ def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
                     nbuild_before - run_lower, 0)
     has_match = cnt > 0
     emit = cnt
+    aux = dict(isq=isq, live=live, matchable=matchable, cnt=cnt,
+               nbuild_before=nbuild_before)
     if how in ("left", "full"):
         emit = jnp.where(isq & live & (cnt == 0), 1, emit)
     if how == "full":
@@ -329,6 +387,7 @@ def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
         qrun = jnp.where(isq & matchable, run_id, jnp.int32(2**31 - 1))
         b_matched = jax.lax.cummin(qrun, reverse=True) == run_id
         emit = jnp.where(~isq & live & ~b_matched, 1, emit)
+        aux["b_matched"] = b_matched
 
     offsets = jnp.cumsum(emit, dtype=jnp.int32) - emit
     # Exact count in int64 — never wraps even when the int32 offsets would
@@ -336,7 +395,7 @@ def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
     # returned count is always true, so overflow is detectable).
     total = jnp.sum(emit, dtype=jnp.int64)
     flag_bits = (s_isq << 1) | has_match.astype(jnp.int32)
-    return total, emit, offsets, s_back, run_lower, flag_bits
+    return total, emit, offsets, s_back, run_lower, flag_bits, aux
 
 
 def join(left: Table, right: Table, left_on: Sequence[str],

@@ -26,10 +26,11 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..core.bits import to_unsigned_bits
+from ..core.bits import from_unsigned_bits, to_unsigned_bits
 from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
+from .engine import multi_sort
 
 
 def radix_encode(data: jax.Array, ascending: bool = True) -> jax.Array:
@@ -58,8 +59,31 @@ def radix_encode(data: jax.Array, ascending: bool = True) -> jax.Array:
     return enc
 
 
-def _null_key(col: Column, nulls_last: bool, live=None) -> jax.Array:
-    """Sort key placing NULLs first/last; dead rows always sort last."""
+def radix_decode(enc: jax.Array, dtype, ascending: bool = True) -> jax.Array:
+    """Inverse of radix_encode: recover original values from the
+    order-normalized encoding. Lets sorted key columns be reconstructed
+    from the sort operands instead of gathered (see ops/engine.py)."""
+    dtype = jnp.dtype(dtype)
+    if not ascending:
+        enc = ~enc
+    if dtype == jnp.bool_:
+        return enc != 0
+    if dtype.kind == "u":
+        return enc.astype(dtype)
+    nbits = dtype.itemsize * 8
+    sign = jnp.asarray(1, enc.dtype) << (nbits - 1)
+    if dtype.kind == "f":
+        u = jnp.where((enc & sign) != 0, enc ^ sign, ~enc)
+    else:
+        u = enc ^ sign
+    return from_unsigned_bits(u, dtype)
+
+
+def _null_flag(col: Column, nulls_last: bool, live=None):
+    """0/1/2 sort flag placing NULLs first/last, dead rows always last;
+    None when no flag is needed."""
+    if col.valid is None and live is None:
+        return None
     if col.valid is None:
         flag = jnp.zeros((col.size,), jnp.uint8)
     else:
@@ -71,6 +95,37 @@ def _null_key(col: Column, nulls_last: bool, live=None) -> jax.Array:
     return flag
 
 
+def key_operands(table: Table, key_names: Sequence[str], ascending,
+                 nulls_last: bool = True) -> list:
+    """Minimal packed sort-key operands for a lexicographic table sort.
+
+    Per key: the radix encoding, with the 2-bit null/dead flag PACKED into
+    the high bits of one u64 operand when the encoding is <= 32 bits (one
+    operand instead of two — operand count is the dominant lax.sort cost).
+    64-bit encodings with a flag stay as (u8 flag, u64 enc) pairs."""
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(key_names)
+    require(len(ascending) == len(key_names),
+            GDFStatus.GDF_INVALID_API_CALL,
+            "ascending list length mismatch")
+    live = None if table.num_rows is None else table.live_mask()
+    operands = []
+    for name, asc in zip(key_names, ascending):
+        col = table.column(name)
+        flag = _null_flag(col, nulls_last, live)
+        live = None  # dead-row flag needed on the first key only
+        enc = radix_encode(col.data, asc)
+        if flag is None:
+            operands.append(enc)
+        elif enc.dtype.itemsize <= 4:
+            packed = (flag.astype(jnp.uint64) << 32) | enc.astype(jnp.uint64)
+            operands.append(packed)
+        else:
+            operands.append(flag)
+            operands.append(enc)
+    return operands
+
+
 def order_by(table: Table, key_names: Sequence[str],
              ascending=True, nulls_last: bool = True) -> jax.Array:
     """Return the permutation (int32[capacity]) that sorts the table
@@ -79,32 +134,38 @@ def order_by(table: Table, key_names: Sequence[str],
     ≅ gdf_order_by → multi_col_order_by (sqls_ops.cu:1373-1392,
     sqls_rtti_comp.hpp:299-320), extended with per-key direction and null
     placement. Dead rows (capacity+count tables) sort to the end."""
-    if isinstance(ascending, bool):
-        ascending = [ascending] * len(key_names)
-    require(len(ascending) == len(key_names),
-            GDFStatus.GDF_INVALID_API_CALL,
-            "ascending list length mismatch")
     n = table.capacity
-    live = None if table.num_rows is None else table.live_mask()
-    operands = []
-    for name, asc in zip(key_names, ascending):
-        col = table.column(name)
-        operands.append(_null_key(col, nulls_last, live))
-        live = None  # dead-row key needed once only
-        operands.append(radix_encode(col.data, asc))
+    operands = key_operands(table, key_names, ascending, nulls_last)
     iota = jnp.arange(n, dtype=jnp.int32)
-    out = jax.lax.sort(tuple(operands) + (iota,),
-                       num_keys=len(operands), is_stable=True)
+    out = multi_sort(tuple(operands) + (iota,), num_keys=len(operands))
     return out[-1]
 
 
 def sort_table(table: Table, key_names: Sequence[str] | None = None,
                ascending=True, nulls_last: bool = True) -> Table:
-    """Gather the table into sorted order (≅ gdf_table::sort,
-    gdf_table.cuh:1020-1050)."""
+    """Reorder the table into sorted order (≅ gdf_table::sort,
+    gdf_table.cuh:1020-1050). Every column rides through ONE fused
+    payload sort — no permutation gathers (ops/engine.py cost model)."""
     keys = list(key_names) if key_names else list(table.names)
-    perm = order_by(table, keys, ascending, nulls_last)
-    return table.gather(perm, num_rows=table.num_rows)
+    operands = key_operands(table, keys, ascending, nulls_last)
+    nk = len(operands)
+    layout = []
+    for c in table.columns:
+        operands.append(c.data)
+        if c.valid is not None:
+            operands.append(c.valid)
+            layout.append(2)
+        else:
+            layout.append(1)
+    res = multi_sort(tuple(operands), num_keys=nk)
+    cols, i = [], nk
+    for c, w in zip(table.columns, layout):
+        data = res[i]
+        valid = res[i + 1] if w == 2 else None
+        i += w
+        cols.append(Column(data=data, valid=valid, info=c.info, name=c.name))
+    out = Table(columns=tuple(cols), names=table.names)
+    return out.with_num_rows(table.num_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +195,7 @@ def radixsort(keys: Column, values: Column | None = None,
         require(values.size == keys.size,
                 GDFStatus.GDF_COLUMN_SIZE_MISMATCH)
         operands.append(values.data)
-    out = jax.lax.sort(tuple(operands), num_keys=1, is_stable=True)
+    out = multi_sort(tuple(operands), num_keys=1)
     sorted_keys = keys.with_data(out[1])
     sorted_vals = None if values is None else values.with_data(out[2])
     return sorted_keys, sorted_vals
@@ -173,7 +234,7 @@ def segmented_radixsort(keys: Column, values: Column | None,
     operands = [seg, enc, keys.data]
     if values is not None:
         operands.append(values.data)
-    out = jax.lax.sort(tuple(operands), num_keys=2, is_stable=True)
+    out = multi_sort(tuple(operands), num_keys=2)
     sorted_keys = keys.with_data(out[2])
     sorted_vals = None if values is None else values.with_data(out[3])
     return sorted_keys, sorted_vals
