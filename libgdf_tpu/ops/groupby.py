@@ -122,8 +122,6 @@ def groupby(table: Table, key_names: Sequence[str],
         operands.extend(enc_keys)
     nk = len(operands)
 
-    payloads = []  # (kind, *meta) descriptors, parallel to operand slots
-
     def add_payload(arr):
         operands.append(arr)
         return len(operands) - 1
@@ -239,10 +237,13 @@ def _scan_agg(vals, avalid, starts, op, group_live, out_name):
                 else avalid.astype(jnp.int32))
         cnt = seg_scan_sum(ones, starts)
 
+        # valid = group_live evaluated at OUTPUT positions (a positional
+        # mask must NOT ride through the compaction sort as payload — it
+        # would be permuted to segment-last SOURCE positions).
         def build(xs):
-            return Column(data=xs[0].astype(jnp.int64), valid=xs[1],
+            return Column(data=xs[0].astype(jnp.int64), valid=group_live,
                           info=DtypeInfo(GDFDtype.INT64), name=out_name)
-        return [cnt, group_live], build
+        return [cnt], build
 
     if op == "avg":
         # ≅ multi_pass_avg (groupby.cuh:308-419): sum + count, divide.

@@ -242,3 +242,38 @@ def test_window_rejects_bad_reduction():
     t = Table.from_dict({"v": np.arange(4, dtype=np.float64)})
     with pytest.raises(GDFError):
         ops.window_function(t, "v", "median")
+
+
+def test_groupby_agg_validity_masks(rng):
+    """Aggregate output validity: all-True for live groups on null-free
+    input, False past num_groups (regression: a positional group-live mask
+    must not ride through the compaction sort as payload)."""
+    keys = np.array([1, 1, 2, 2, 3], np.int64)
+    vals = np.arange(5, dtype=np.int64)
+    t = Table.from_dict({"k": keys, "v": vals})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s"), ("v", "count", "n"),
+                                 ("v", "avg", "m"), ("v", "min", "lo")])
+    ng = int(out.num_rows)
+    assert ng == 3
+    for name in ("s", "n", "m", "lo"):
+        v = np.asarray(out[name].valid)
+        np.testing.assert_array_equal(v[:ng], True, err_msg=name)
+        np.testing.assert_array_equal(v[ng:], False, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(out["n"].data)[:ng], [2, 2, 1])
+
+
+def test_groupby_count_validity_with_null_values(rng):
+    """COUNT of an all-null group is 0 but still a VALID (live) output."""
+    keys = np.array([1, 1, 2, 2], np.int64)
+    vals = np.array([5, 6, 7, 8], np.int64)
+    vvalid = np.array([True, True, False, False])
+    t = Table.from_dict({"k": keys, "v": vals}, nulls={"v": ~vvalid})
+    out = ops.groupby(t, ["k"], [("v", "count", "n"), ("v", "sum", "s")])
+    ng = int(out.num_rows)
+    assert ng == 2
+    np.testing.assert_array_equal(np.asarray(out["n"].data)[:ng], [2, 0])
+    np.testing.assert_array_equal(np.asarray(out["n"].valid)[:ng],
+                                  [True, True])
+    # sum over an all-null group is NULL
+    np.testing.assert_array_equal(np.asarray(out["s"].valid)[:ng],
+                                  [True, False])

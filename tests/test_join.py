@@ -267,3 +267,30 @@ def test_sorted_search_bounds(rng):
                                   np.searchsorted(s, q, "left"))
     np.testing.assert_array_equal(np.asarray(hi),
                                   np.searchsorted(s, q, "right"))
+
+
+def test_join_fast_path_matches_general_path(rng):
+    """PK-FK (unique build side) takes the gather-free fast path; forcing
+    the same rows down the general path (by duplicating one build row and
+    capping its effect) must give identical pairs."""
+    m, n = 500, 64
+    lk = rng.integers(0, n, m).astype(np.int32)
+    rk = np.arange(n, dtype=np.int32)            # unique -> fast path
+    left = Table.from_dict({"k": lk})
+    right = Table.from_dict({"k": rk})
+    li, ri, cnt = ops.inner_join(left, right, ["k"], ["k"], out_capacity=m)
+    cnt = int(cnt)
+    pairs_fast = sorted(zip(np.asarray(li)[:cnt].tolist(),
+                            np.asarray(ri)[:cnt].tolist()))
+
+    # general path: duplicate build key `n` (absent from probe keys is not
+    # guaranteed, so pick a key value outside the probe range)
+    rk2 = np.concatenate([rk, [1 << 20, 1 << 20]]).astype(np.int32)
+    right2 = Table.from_dict({"k": rk2})
+    li2, ri2, cnt2 = ops.inner_join(left, right2, ["k"], ["k"],
+                                    out_capacity=m)
+    cnt2 = int(cnt2)
+    assert cnt2 == cnt
+    pairs_gen = sorted(zip(np.asarray(li2)[:cnt2].tolist(),
+                           np.asarray(ri2)[:cnt2].tolist()))
+    assert pairs_fast == pairs_gen
