@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
+from . import engine
 from .engine import multi_sort
 
 
@@ -38,34 +39,40 @@ def compaction_indices(keep: jax.Array):
 
 
 def compact_table(table: Table, keep: jax.Array):
-    """Move rows where `keep` to the front (stable), all columns in ONE
-    fused payload sort. Returns (Table with original capacity, count)."""
-    n = table.capacity
-    drop = jnp.logical_not(keep).astype(jnp.uint8)
-    ops_list, layout = [drop], []
+    """Move rows where `keep` to the front (stable). Returns (Table with
+    original capacity, count). TPU: Pallas routing kernel
+    (ops/pallas/compact.py); fallback: ONE fused payload sort."""
+    arrays, layout = [], []
     for c in table.columns:
-        ops_list.append(c.data)
+        arrays.append(c.data)
         if c.valid is not None:
-            ops_list.append(c.valid)
+            arrays.append(c.valid)
             layout.append(2)
         else:
             layout.append(1)
-    res = multi_sort(ops_list, num_keys=1)
-    cols, i = [], 1
+    res, count = compact_arrays(arrays, keep)
+    cols, i = [], 0
     for c, w in zip(table.columns, layout):
         data = res[i]
         valid = res[i + 1] if w == 2 else None
         i += w
         cols.append(Column(data=data, valid=valid, info=c.info, name=c.name))
-    count = jnp.sum(keep, dtype=jnp.int32)
     return Table(columns=tuple(cols), names=table.names), count
 
 
 def compact_arrays(arrays, keep: jax.Array):
-    """compact_table for raw arrays: returns (compacted arrays, count)."""
+    """Stable stream compaction of raw arrays: returns (compacted arrays,
+    count). Backend-selected: Pallas monotone-routing kernel on TPU
+    (~100x the sort path), fused 1-key payload sort elsewhere."""
+    arrays = list(arrays)
+    if engine.use_pallas() or engine.pallas_interpret():
+        from .pallas import compact_pallas, compact_pallas_supported
+        if compact_pallas_supported(arrays):
+            return compact_pallas(arrays, keep,
+                                  interpret=engine.pallas_interpret())
     drop = jnp.logical_not(keep).astype(jnp.uint8)
-    res = multi_sort([drop] + list(arrays), num_keys=1)
-    return res[1:], jnp.sum(keep, dtype=jnp.int32)
+    res = multi_sort([drop] + arrays, num_keys=1)
+    return list(res[1:]), jnp.sum(keep, dtype=jnp.int32)
 
 
 def stencil_keep_mask(stencil: Column) -> jax.Array:

@@ -30,25 +30,39 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-# Toggle for the Pallas sort backend (ops/pallas). Set by configure().
-_USE_PALLAS_SORT = None  # None = auto (TPU only)
+# Toggle for the Pallas kernel backend (ops/pallas). Set by configure().
+# None = auto: Pallas kernels on TPU, XLA fallbacks elsewhere (CPU tests).
+_USE_PALLAS = None
+_INTERPRET = False  # run Pallas kernels in interpreter mode (debugging)
 
 
-def configure(use_pallas_sort: bool | None = None) -> None:
-    global _USE_PALLAS_SORT
-    _USE_PALLAS_SORT = use_pallas_sort
+def configure(use_pallas: bool | None = None,
+              interpret: bool = False) -> None:
+    """Select the compute backend for data-movement primitives.
+
+    use_pallas=None (default) picks Pallas kernels on TPU and the XLA
+    lax.sort fallbacks on CPU; True/False forces. interpret=True runs the
+    Pallas kernels in interpreter mode (any backend; slow — testing only)."""
+    global _USE_PALLAS, _INTERPRET
+    _USE_PALLAS = use_pallas
+    _INTERPRET = interpret
 
 
-def _pallas_available() -> bool:
-    if _USE_PALLAS_SORT is not None:
-        return _USE_PALLAS_SORT
+def use_pallas() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         return False
 
 
-def multi_sort(operands: Sequence[jax.Array], num_keys: int):
+def pallas_interpret() -> bool:
+    return _INTERPRET
+
+
+def multi_sort(operands: Sequence[jax.Array], num_keys: int,
+               stable: bool = True):
     """Stable lexicographic sort of the first `num_keys` operands; ALL
     operands are permuted consistently. This is the engine's one data-
     movement primitive: filter, partition, order-by, groupby and join all
@@ -58,7 +72,7 @@ def multi_sort(operands: Sequence[jax.Array], num_keys: int):
     reference (sqls_rtti_comp.hpp:299-320, joining.cu, hashing.cu) — but
     carrying whole tables as payload instead of gathering afterwards."""
     operands = tuple(operands)
-    return jax.lax.sort(operands, num_keys=num_keys, is_stable=True)
+    return jax.lax.sort(operands, num_keys=num_keys, is_stable=stable)
 
 
 def argsort_keys(keys: Sequence[jax.Array], payloads: Sequence[jax.Array] = ()):

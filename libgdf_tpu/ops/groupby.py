@@ -54,7 +54,8 @@ from ..core.table import Table
 from .compaction import compact_arrays
 from .engine import multi_sort, seg_scan_max, seg_scan_min, seg_scan_sum
 from .join import mask_or
-from .sort import radix_decode, radix_encode
+from .sort import (bit_field_offsets, pack_bit_fields, radix_decode,
+                   radix_encode, unpack_bit_field)
 
 AGG_OPS = ("sum", "min", "max", "avg", "count", "count_distinct")
 
@@ -99,7 +100,9 @@ def groupby(table: Table, key_names: Sequence[str],
     if table.num_rows is not None:
         drop = mask_or(drop, jnp.logical_not(table.live_mask()))
 
-    # --- sort 1: keys + every payload in ONE fused sort ---
+    # --- sort 1: keys + every payload in ONE fused sort. Key flags and
+    # encodings are bit-packed into minimal u64 words (pack_bit_fields) —
+    # operand count dominates lax.sort cost. ---
     enc_keys = []
     for c in key_cols:
         data = c.data
@@ -107,19 +110,13 @@ def groupby(table: Table, key_names: Sequence[str],
             data = jnp.where(data == 0, jnp.zeros_like(data), data)
         enc_keys.append(radix_encode(data, ascending=True))
 
-    operands = []
-    packed_first = False
+    enc_bits = [e.dtype.itemsize * 8 for e in enc_keys]
+    fields = []
     if drop is not None:
-        if enc_keys[0].dtype.itemsize <= 4:
-            operands.append((drop.astype(jnp.uint64) << 32)
-                            | enc_keys[0].astype(jnp.uint64))
-            operands.extend(enc_keys[1:])
-            packed_first = True
-        else:
-            operands.append(drop.astype(jnp.uint8))
-            operands.extend(enc_keys)
-    else:
-        operands.extend(enc_keys)
+        fields.append((drop.astype(jnp.uint8), 1))
+    fields.extend(zip(enc_keys, enc_bits))
+    words = pack_bit_fields(fields)
+    operands = list(words)
     nk = len(operands)
 
     def add_payload(arr):
@@ -144,15 +141,16 @@ def groupby(table: Table, key_names: Sequence[str],
 
     res = multi_sort(tuple(operands), num_keys=nk)
 
-    if drop is not None and packed_first:
-        s_dropped = (res[0] >> 32) != 0
-        s_enc = [res[0].astype(enc_keys[0].dtype)] + list(res[1:nk])
-    elif drop is not None:
-        s_dropped = res[0] != 0
-        s_enc = list(res[1:nk])
+    s_words = list(res[:nk])
+    offs, _ = bit_field_offsets([f[1] for f in fields])
+    fi = 0
+    if drop is not None:
+        s_dropped = unpack_bit_field(s_words, offs[0], 1) != 0
+        fi = 1
     else:
         s_dropped = jnp.zeros((n,), jnp.bool_)
-        s_enc = list(res[:nk])
+    s_enc = [unpack_bit_field(s_words, offs[fi + j], enc_bits[j]).astype(
+        enc_keys[j].dtype) for j in range(len(enc_keys))]
 
     # --- group boundaries (≅ reduce_by_key's equality predicate) ---
     first = jnp.zeros((n,), jnp.bool_).at[0].set(True)

@@ -186,20 +186,8 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     p_live = (jnp.ones((m,), jnp.bool_) if left.num_rows is None
               else left.live_mask())
 
-    def _ctl(nomatch, live):
-        matchable = (jnp.ones_like(live) if nomatch is None
-                     else jnp.logical_not(nomatch))
-        return matchable.astype(jnp.uint8) | (live.astype(jnp.uint8) << 1)
-
-    # A leading flag word pushes no-match build rows past every query
-    # run (queries carry flag 0), so they never land inside a match
-    # range; query no-match is handled by the ctl bit instead.
-    bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
-             else b_nomatch.astype(jnp.uint8))
-
     total, emit, offsets, s_back, run_lower, flag_bits, aux = _emit_plan(
-        how, bkeys, pkeys, bflag, _ctl(b_nomatch, b_live),
-        _ctl(p_nomatch, p_live))
+        how, bkeys, pkeys, b_nomatch, p_nomatch, b_live, p_live)
 
     if out_capacity is None:
         try:
@@ -292,6 +280,8 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     # a small separate sort of the build side alone; stability makes it
     # positionally consistent with build ranks in the merged order.
     if n > 0:
+        bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
+                 else b_nomatch.astype(jnp.uint8))
         bsort = multi_sort(
             tuple([bflag] + bkeys + [jnp.arange(n, dtype=jnp.int32)]),
             num_keys=1 + len(bkeys))
@@ -321,71 +311,135 @@ def _fit_cap(x, cap):
     return jnp.concatenate([x, jnp.full((cap - n,), -1, x.dtype)])
 
 
-def _emit_plan(how, bkeys, pkeys, bflag, b_ctl, p_ctl):
+def _ones(x, n):
+    return jnp.ones((n,), jnp.bool_) if x is None else x
+
+
+_PACK_MAX = 1 << 28  # per-side row ceiling of the packed emit plan
+
+
+def _emit_plan(how, bkeys, pkeys, b_nomatch, p_nomatch, b_live, p_live):
     """Merge-sort both sides on their keys and compute, per sorted
     position: the emit count, exclusive output offsets, original row id
-    (`back`) and equal-key-run lower bound (build rank of the run start).
+    (`back`) and equal-key-run lower bound (matchable-build rank of the
+    run start).
 
     ≅ the reference's output-size estimation + probe passes
     (join_compute_api.h:204-321) collapsed into exact scans:
-      upper bound  = exclusive cumsum of is_build   (build sorts first
-                     within a run via the is_query tiebreak key);
+      upper bound  = exclusive cumsum of matchable builds (builds sort
+                     before queries within a run via the is_query bit);
       lower bound  = run-start propagation (cummax with -1 gaps);
       FULL join    : a build row is matched iff its run holds ≥1
                      matchable query row — reverse cummin of run ids over
                      query positions (replaces the reference's second
                      probe pass, join_compute_api.h:54-186).
 
-    Returns (total, emit, offsets, s_back, run_lower, flag_bits) — all
-    per sorted position; flag_bits packs (is_query << 1) | has_match for
-    the emit-inversion payload."""
-    n = bkeys[0].shape[0] if bkeys else bflag.shape[0]
-    m = pkeys[0].shape[0] if pkeys else p_ctl.shape[0]
+    The merge sort is PACKED for single-key joins: everything —
+    encoding, is_query bit, matchable bit, live bit, row index — rides in
+    one u64 word (32-bit encodings; unstable 1-operand sort) or two
+    (64-bit encodings), the dominant cost of the whole join. Word layout
+    (low word): [63:32] enc32 | [31] is_query | [30] matchable |
+    [29] live | [28:0] row index. The matchable bit's position makes
+    no-match builds sort BEFORE matchable builds inside a run, so the
+    fast path's forward fill always lands on a matchable build.
+    Multi-key joins keep the general multi-operand sort with a leading
+    no-match flag word.
+
+    Returns (total, emit, offsets, s_back, run_lower, flag_bits, aux) —
+    all per sorted position; flag_bits packs (is_query << 1) | has_match
+    for the emit-inversion payload."""
+    n = b_live.shape[0]
+    m = p_live.shape[0]
     L = n + m
     if L == 0:
         z = jnp.zeros((0,), jnp.int32)
         return jnp.int32(0), z, z, z, z, z, {}
 
-    flag = jnp.concatenate([bflag, jnp.zeros((m,), jnp.uint8)])
-    is_query = jnp.concatenate([
-        jnp.zeros((n,), jnp.uint8), jnp.ones((m,), jnp.uint8)])
-    back = jnp.concatenate([jnp.arange(n, dtype=jnp.int32),
-                            jnp.arange(m, dtype=jnp.int32)])
-    ctl = jnp.concatenate([b_ctl, p_ctl])
-    keys = [jnp.concatenate([b, q]) for b, q in zip(bkeys, pkeys)]
+    packed = (len(bkeys) == 1 and max(n, m) < _PACK_MAX)
+    if packed:
+        enc = jnp.concatenate([bkeys[0], pkeys[0]]).astype(jnp.uint64)
+        isq_b = jnp.concatenate([jnp.zeros((n,), jnp.uint64),
+                                 jnp.ones((m,), jnp.uint64)])
+        matchable_b = jnp.concatenate([
+            _ones(None if b_nomatch is None else ~b_nomatch, n),
+            _ones(None if p_nomatch is None else ~p_nomatch, m)]).astype(
+                jnp.uint64)
+        live_b = jnp.concatenate([b_live, p_live]).astype(jnp.uint64)
+        back_b = jnp.concatenate([
+            jnp.arange(n, dtype=jnp.uint64),
+            jnp.arange(m, dtype=jnp.uint64)])
+        low = ((isq_b << 31) | (matchable_b << 30) | (live_b << 29)
+               | back_b)
+        if bkeys[0].dtype.itemsize <= 4:
+            words = [(enc << 32) | low]
+        else:
+            words = [enc, low]
+        res = multi_sort(tuple(words), num_keys=len(words), stable=False)
+        s_low = res[-1]
+        s_enc_keys = [res[0] >> 32] if len(words) == 1 else [res[0]]
+        s_isq = ((s_low >> 31) & jnp.uint64(1)).astype(jnp.int32)
+        s_matchable = ((s_low >> 30) & jnp.uint64(1)) != 0
+        s_live = ((s_low >> 29) & jnp.uint64(1)) != 0
+        s_back = (s_low & jnp.uint64(_PACK_MAX * 2 - 1)).astype(jnp.int32)
+        countable = jnp.logical_and(s_isq == 0, s_matchable).astype(
+            jnp.int32)
+    else:
+        # General multi-key path: a leading no-match flag word pushes
+        # no-match build rows past every query run, so every build row in
+        # a query's run is matchable (countable = is_build).
+        bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
+                 else b_nomatch.astype(jnp.uint8))
+        flag = jnp.concatenate([bflag, jnp.zeros((m,), jnp.uint8)])
+        is_query = jnp.concatenate([
+            jnp.zeros((n,), jnp.uint8), jnp.ones((m,), jnp.uint8)])
+        back = jnp.concatenate([jnp.arange(n, dtype=jnp.int32),
+                                jnp.arange(m, dtype=jnp.int32)])
 
-    res = multi_sort(tuple([flag] + keys + [is_query, back, ctl]),
-                     num_keys=1 + len(keys) + 1)
-    s_keys = res[:1 + len(keys)]     # flag word participates in runs
-    s_isq = res[-3].astype(jnp.int32)
-    s_back = res[-2]
-    s_ctl = res[-1]
+        def _ctl(nomatch, live):
+            matchable = (jnp.ones_like(live) if nomatch is None
+                         else jnp.logical_not(nomatch))
+            return matchable.astype(jnp.uint8) | (live.astype(jnp.uint8)
+                                                  << 1)
 
-    is_build = 1 - s_isq
-    nbuild_before = jnp.cumsum(is_build, dtype=jnp.int32) - is_build
+        ctl = jnp.concatenate([_ctl(b_nomatch, b_live),
+                               _ctl(p_nomatch, p_live)])
+        keys = [jnp.concatenate([b, q]) for b, q in zip(bkeys, pkeys)]
+        res = multi_sort(tuple([flag] + keys + [is_query, back, ctl]),
+                         num_keys=1 + len(keys) + 1)
+        s_enc_keys = res[:1 + len(keys)]   # flag word participates in runs
+        s_isq = res[-3].astype(jnp.int32)
+        s_back = res[-2]
+        s_ctl = res[-1]
+        s_matchable = (s_ctl & 1) != 0
+        s_live = (s_ctl & 2) != 0
+        countable = 1 - s_isq
+
+    nbuild_before = jnp.cumsum(countable, dtype=jnp.int32) - countable
 
     key_change = jnp.zeros((L,), jnp.bool_).at[0].set(True)
-    for k in s_keys:
+    for k in s_enc_keys:
         key_change = jnp.logical_or(
             key_change,
             jnp.concatenate([jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]]))
     run_lower = jax.lax.cummax(jnp.where(key_change, nbuild_before, -1))
 
     isq = s_isq == 1
-    matchable = (s_ctl & 1) != 0
-    live = (s_ctl & 2) != 0
+    matchable = s_matchable
+    live = s_live
     cnt = jnp.where(jnp.logical_and(isq, matchable),
                     nbuild_before - run_lower, 0)
     has_match = cnt > 0
     emit = cnt
     aux = dict(isq=isq, live=live, matchable=matchable, cnt=cnt,
-               nbuild_before=nbuild_before)
+               nbuild_before=nbuild_before, countable=countable)
     if how in ("left", "full"):
         emit = jnp.where(isq & live & (cnt == 0), 1, emit)
     if how == "full":
         run_id = jnp.cumsum(key_change, dtype=jnp.int32) - 1
         qrun = jnp.where(isq & matchable, run_id, jnp.int32(2**31 - 1))
-        b_matched = jax.lax.cummin(qrun, reverse=True) == run_id
+        b_matched = jnp.logical_and(
+            jax.lax.cummin(qrun, reverse=True) == run_id,
+            jnp.logical_and(~isq, matchable))
         emit = jnp.where(~isq & live & ~b_matched, 1, emit)
         aux["b_matched"] = b_matched
 

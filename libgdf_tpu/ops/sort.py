@@ -79,6 +79,83 @@ def radix_decode(enc: jax.Array, dtype, ascending: bool = True) -> jax.Array:
     return from_unsigned_bits(u, dtype)
 
 
+def pack_bit_fields(fields, iota_bits: int = 0, n: int | None = None):
+    """Pack ordered bit fields into the minimum number of u64 sort words.
+
+    `fields` is a list of (array, nbits) with each array's low `nbits`
+    carrying an unsigned, order-normalized value (radix_encode output or a
+    null/dead flag). The global bit string (field 0 most significant)
+    is sliced into 64-bit words; comparing the word tuple
+    lexicographically == comparing the concatenated bit string == the
+    multi-key order. Fields may straddle word boundaries.
+
+    If `iota_bits` > 0, a row-index field is appended, pre-padded so it
+    lands in the LOW bits of the final word: the sort then needs no
+    separate payload operand for the permutation (extract with
+    `last_word & ((1 << iota_bits) - 1)`), and makes rows unique so the
+    sort can be unstable.
+
+    This replaces the reference's one-comparator-per-column runtime
+    dispatch (LesserRTTI, sqls_rtti_comp.hpp:100-118) with the minimal
+    number of fused radix words — operand count is the dominant
+    lax.sort cost on TPU."""
+    total = 0
+    placed = []  # (value u64, nbits, global offset)
+    for v, nbits in fields:
+        if nbits == 0:
+            continue
+        placed.append((v.astype(jnp.uint64), nbits, total))
+        total += nbits
+    if iota_bits:
+        pad = (64 - ((total + iota_bits) % 64)) % 64
+        total += pad
+        iota = jnp.arange(n, dtype=jnp.uint64)
+        placed.append((iota, iota_bits, total))
+        total += iota_bits
+    nwords = max(1, -(-total // 64))
+    words = [None] * nwords
+    for v, nbits, off in placed:
+        w, start = off // 64, off % 64
+        avail = 64 - start
+        if nbits <= avail:
+            contrib = v << (avail - nbits)
+            words[w] = contrib if words[w] is None else words[w] | contrib
+        else:
+            spill = nbits - avail
+            hi = v >> spill
+            words[w] = hi if words[w] is None else words[w] | hi
+            lo = (v & ((jnp.uint64(1) << spill) - jnp.uint64(1))) << (64 - spill)
+            words[w + 1] = lo if words[w + 1] is None else words[w + 1] | lo
+    zero = jnp.zeros_like(placed[0][0]) if placed else None
+    words = [w if w is not None else zero for w in words]
+    return words
+
+
+def bit_field_offsets(nbits_list):
+    """Global bit offsets of each field in the pack_bit_fields layout."""
+    offs, total = [], 0
+    for nb in nbits_list:
+        offs.append(total)
+        total += nb
+    return offs, total
+
+
+def unpack_bit_field(words, off: int, nbits: int):
+    """Extract the u64 value of the field at global bit offset `off` from
+    packed sort words (inverse of pack_bit_fields — lets sorted key
+    values be reconstructed from the sort operands instead of gathered)."""
+    w, start = off // 64, off % 64
+    avail = 64 - start
+    mask = (jnp.uint64((1 << min(nbits, 63)) - 1) if nbits < 64
+            else ~jnp.uint64(0))
+    if nbits <= avail:
+        return (words[w] >> (avail - nbits)) & mask
+    spill = nbits - avail
+    hi = words[w] & ((jnp.uint64(1) << avail) - jnp.uint64(1))
+    lo = words[w + 1] >> (64 - spill)
+    return ((hi << spill) | lo) & mask
+
+
 def _null_flag(col: Column, nulls_last: bool, live=None):
     """0/1/2 sort flag placing NULLs first/last, dead rows always last;
     None when no flag is needed."""
@@ -95,35 +172,38 @@ def _null_flag(col: Column, nulls_last: bool, live=None):
     return flag
 
 
-def key_operands(table: Table, key_names: Sequence[str], ascending,
-                 nulls_last: bool = True) -> list:
-    """Minimal packed sort-key operands for a lexicographic table sort.
-
-    Per key: the radix encoding, with the 2-bit null/dead flag PACKED into
-    the high bits of one u64 operand when the encoding is <= 32 bits (one
-    operand instead of two — operand count is the dominant lax.sort cost).
-    64-bit encodings with a flag stay as (u8 flag, u64 enc) pairs."""
+def key_fields(table: Table, key_names: Sequence[str], ascending,
+               nulls_last: bool = True) -> list:
+    """Ordered (value, nbits) bit fields for a lexicographic table sort —
+    input to pack_bit_fields. Per key: a 1/2-bit null/dead flag (2 bits
+    only on the first key of a capacity+count table) then the radix
+    encoding."""
     if isinstance(ascending, bool):
         ascending = [ascending] * len(key_names)
     require(len(ascending) == len(key_names),
             GDFStatus.GDF_INVALID_API_CALL,
             "ascending list length mismatch")
     live = None if table.num_rows is None else table.live_mask()
-    operands = []
+    fields = []
     for name, asc in zip(key_names, ascending):
         col = table.column(name)
         flag = _null_flag(col, nulls_last, live)
+        nbits_flag = 2 if live is not None else 1
         live = None  # dead-row flag needed on the first key only
         enc = radix_encode(col.data, asc)
-        if flag is None:
-            operands.append(enc)
-        elif enc.dtype.itemsize <= 4:
-            packed = (flag.astype(jnp.uint64) << 32) | enc.astype(jnp.uint64)
-            operands.append(packed)
-        else:
-            operands.append(flag)
-            operands.append(enc)
-    return operands
+        if flag is not None:
+            fields.append((flag, nbits_flag))
+        fields.append((enc, enc.dtype.itemsize * 8))
+    return fields
+
+
+def key_operands(table: Table, key_names: Sequence[str], ascending,
+                 nulls_last: bool = True) -> list:
+    """Minimal u64 sort-key operands (packed bit fields) for a
+    lexicographic table sort — operand count is the dominant lax.sort
+    cost on TPU, so all flags/encodings share words."""
+    return pack_bit_fields(
+        key_fields(table, key_names, ascending, nulls_last))
 
 
 def order_by(table: Table, key_names: Sequence[str],
@@ -133,12 +213,19 @@ def order_by(table: Table, key_names: Sequence[str],
 
     ≅ gdf_order_by → multi_col_order_by (sqls_ops.cu:1373-1392,
     sqls_rtti_comp.hpp:299-320), extended with per-key direction and null
-    placement. Dead rows (capacity+count tables) sort to the end."""
+    placement. Dead rows (capacity+count tables) sort to the end.
+
+    The row index rides in the LOW bits of the last key word (stability +
+    permutation output in one), so the whole sort is `ceil(keybits/64)`
+    unstable u64 operands — for one 64-bit key + one 32-bit key that is 2
+    operands vs the reference-shaped 4."""
     n = table.capacity
-    operands = key_operands(table, key_names, ascending, nulls_last)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    out = multi_sort(tuple(operands) + (iota,), num_keys=len(operands))
-    return out[-1]
+    fields = key_fields(table, key_names, ascending, nulls_last)
+    iota_bits = max(1, (max(n - 1, 1)).bit_length())
+    words = pack_bit_fields(fields, iota_bits=iota_bits, n=n)
+    out = multi_sort(tuple(words), num_keys=len(words), stable=False)
+    mask = jnp.uint64((1 << iota_bits) - 1)
+    return (out[-1] & mask).astype(jnp.int32)
 
 
 def sort_table(table: Table, key_names: Sequence[str] | None = None,
