@@ -20,6 +20,11 @@ Algorithm (per 64x128-element block, sequential grid):
      overwritten by that block's DMA — the grid is sequential, so later
      blocks legally overwrite earlier blocks' padding tails).
 
+TPU constraint (measured on v5e): a VMEM->HBM DMA's source row count must
+be a multiple of the 8-sublane tile — a (65,128) staging buffer aborts the
+program at runtime (TPU backend error). The augmented block is therefore
+ROWS+8 rows: row 0 = carry, rows 1..ROWS = data, last 7 rows dead.
+
 The count output equals the true survivor total (the tail of the output
 buffer past it is garbage — the capacity+count convention of
 core/table.py).
@@ -39,7 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-ROWS = 64                      # rows per block
+ROWS = 512                     # rows per block (VMEM-bounded; bigger rows
+                               # amortize per-block DMA/sequencing overhead)
 BLOCK = ROWS * LANES           # elements per grid step
 
 
@@ -55,12 +61,13 @@ def _ceil_log2(x: int) -> int:
 
 def _cumsum(x, axis):
     """Inclusive prefix sum via log-step shifted adds (Mosaic has no
-    cumsum primitive)."""
+    cumsum primitive). Shift amounts are STATIC Python ints — a traced
+    shift makes pltpu.roll lower to a dynamic rotate, ~10x slower."""
     size = x.shape[axis]
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
     s = 1
     while s < size:
-        shifted = pltpu.roll(x, _i32(s), axis)
+        shifted = pltpu.roll(x, np.int32(s), axis)
         x = x + jnp.where(idx >= s, shifted, _i32(0))
         s <<= 1
     return x
@@ -69,16 +76,16 @@ def _cumsum(x, axis):
 def _flat_shift(x, s, rows, zero_fill):
     """y[p] = x[p + s] over the row-major flattening of (rows, LANES).
     Positions past the end get `zero_fill` (must be 0 for the distance
-    array so wrapped values read as dead)."""
+    array so wrapped values read as dead). All shifts static."""
     if s % LANES == 0:
         k = s // LANES
-        y = pltpu.roll(x, _i32(rows - k), 0)  # left-rotate rows by k
+        y = pltpu.roll(x, np.int32(rows - k), 0)  # left-rotate rows by k
         if zero_fill:
             r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
             y = jnp.where(r < rows - k, y, _i32(0))
         return y
-    a = pltpu.roll(x, _i32(LANES - s), 1)  # [r, c] = x[r, (c+s) % LANES]
-    b = pltpu.roll(a, _i32(rows - 1), 0)   # [r, c] = x[r+1, (c+s) % LANES]
+    a = pltpu.roll(x, np.int32(LANES - s), 1)  # [r, c] = x[r, (c+s) % LANES]
+    b = pltpu.roll(a, np.int32(rows - 1), 0)   # [r, c] = x[r+1, (c+s) % LANES]
     c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     y = jnp.where(c < LANES - s, a, b)
     if zero_fill:
@@ -112,21 +119,25 @@ def _kernel(n, nblocks, nops, keep_ref, *refs):
     base_row = state[0]
     carry_len = state[1]
 
-    rows_aug = ROWS + 1
+    rows_aug = ROWS + 8   # 8-sublane-aligned: DMA source rows must be %8
+    pad_rows = rows_aug - ROWS - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows_aug, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (rows_aug, LANES), 0)
 
-    # augmented arrays: row 0 = carry, rows 1.. = this block
+    # augmented arrays: row 0 = carry, rows 1..ROWS = this block, tail dead
     keep_blk = keep_ref[:]
     flat_in = b * BLOCK + (row - 1) * LANES + lane
     keep_aug = jnp.where(
         row == 0, (lane < carry_len).astype(jnp.int32),
-        jnp.where(flat_in < n, jnp.concatenate(
-            [jnp.zeros((1, LANES), jnp.int32), keep_blk]), _i32(0)))
+        jnp.where(jnp.logical_and(row <= ROWS, flat_in < n),
+                  jnp.concatenate(
+                      [jnp.zeros((1, LANES), jnp.int32), keep_blk,
+                       jnp.zeros((pad_rows, LANES), jnp.int32)]), _i32(0)))
 
     vals = []
+    zpad = jnp.zeros((pad_rows, LANES), jnp.int32)
     for w in range(nops):
-        vals.append(jnp.concatenate([carry[w][:], in_refs[w][:]]))
+        vals.append(jnp.concatenate([carry[w][:], in_refs[w][:], zpad]))
 
     # exclusive scan of drops over the row-major flat order
     dropped = 1 - keep_aug
@@ -184,7 +195,15 @@ def _pad_to(x, size):
 
 def _to_words(arr):
     """Split an array into 4-byte i32 route words + a descriptor for
-    reassembly."""
+    reassembly.
+
+    8-byte dtypes CANNOT use lax.bitcast_convert_type on TPU (the X64
+    rewrite pass lacks 64-bit bitcast — see core/bits.py); the bit
+    pattern is taken arithmetically instead (core.bits.to_unsigned_bits)
+    and split by shifts. For float64 this canonicalizes -0.0 → +0.0,
+    denormals → 0 and NaN payloads → the canonical qNaN — the same
+    (sort/hash-benign) canonicalization the engine's f64 key encodings
+    already apply."""
     dt = arr.dtype
     if dt == jnp.bool_:
         return [arr.astype(jnp.int32)], ("bool",)
@@ -193,9 +212,13 @@ def _to_words(arr):
         return [arr.astype(jnp.int32)], ("small", dt)
     if nbytes == 4:
         return [jax.lax.bitcast_convert_type(arr, jnp.int32)], ("cast4", dt)
-    # 8-byte: two words
-    w = jax.lax.bitcast_convert_type(arr, jnp.int32)  # (n, 2)
-    return [w[:, 0], w[:, 1]], ("cast8", dt)
+    # 8-byte: arithmetic bit pattern → two u32 halves → i32 route words
+    from ...core.bits import to_unsigned_bits
+    u = to_unsigned_bits(arr)                     # uint64, TPU-safe
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return [jax.lax.bitcast_convert_type(hi, jnp.int32),
+            jax.lax.bitcast_convert_type(lo, jnp.int32)], ("bits8", dt)
 
 
 def _from_words(words, desc):
@@ -206,8 +229,13 @@ def _from_words(words, desc):
         return words[0].astype(desc[1])
     if kind == "cast4":
         return jax.lax.bitcast_convert_type(words[0], desc[1])
-    stacked = jnp.stack([words[0], words[1]], axis=-1)
-    return jax.lax.bitcast_convert_type(stacked, desc[1])
+    # bits8: reassemble u64 arithmetically, then decode (TPU-safe)
+    from ...core.bits import from_unsigned_bits
+    hi = jax.lax.bitcast_convert_type(words[0], jnp.uint32).astype(
+        jnp.uint64)
+    lo = jax.lax.bitcast_convert_type(words[1], jnp.uint32).astype(
+        jnp.uint64)
+    return from_unsigned_bits((hi << jnp.uint64(32)) | lo, desc[1])
 
 
 def compact_pallas_supported(arrays) -> bool:
@@ -229,7 +257,7 @@ def _run(keep_i32, words, *, interpret=False):
     words2 = [_pad_to(w, npad).reshape(nblocks * ROWS, LANES)
               for w in words]
     nops = len(words2)
-    out_rows = nblocks * ROWS + ROWS + 2
+    out_rows = nblocks * ROWS + ROWS + 16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -241,7 +269,7 @@ def _run(keep_i32, words, *, interpret=False):
                   [pl.BlockSpec((1,), lambda b: (jnp.int32(0),),
                                 memory_space=pltpu.SMEM)],
         scratch_shapes=(
-            [pltpu.VMEM((ROWS + 1, LANES), jnp.int32)] * nops +
+            [pltpu.VMEM((ROWS + 8, LANES), jnp.int32)] * nops +
             [pltpu.VMEM((1, LANES), jnp.int32)] * nops +
             [pltpu.SMEM((2,), jnp.int32),
              pltpu.SemaphoreType.DMA((nops,))]),

@@ -5,16 +5,20 @@ from .mesh import (
     DEFAULT_AXIS, init_distributed, make_mesh, row_sharding, shard_table,
 )
 from .shuffle import (
-    all_gather_table, global_partition_histogram, shuffle_shard,
+    all_gather_table, dest_sizes, global_partition_histogram,
+    required_slot_capacity, shuffle_shard,
 )
 from .distributed import (
     ShardedTable, broadcast_join, collect, detect_skew, dist_groupby,
-    dist_join, distribute, map_shards,
+    dist_join, dist_join_salted, distribute, exact_slot_capacity,
+    map_shards,
 )
 
 __all__ = [
     "DEFAULT_AXIS", "init_distributed", "make_mesh", "row_sharding",
-    "shard_table", "all_gather_table", "global_partition_histogram",
+    "shard_table", "all_gather_table", "dest_sizes",
+    "global_partition_histogram", "required_slot_capacity",
     "shuffle_shard", "ShardedTable", "broadcast_join", "collect",
-    "detect_skew", "dist_groupby", "dist_join", "distribute", "map_shards",
+    "detect_skew", "dist_groupby", "dist_join", "dist_join_salted",
+    "distribute", "exact_slot_capacity", "map_shards",
 ]

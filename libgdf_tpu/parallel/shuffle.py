@@ -36,8 +36,35 @@ def _axis_size(axis_name: str) -> int:
     return jax.lax.axis_size(axis_name)
 
 
+def dest_sizes(table: Table, key_names: Sequence[str], axis_name: str,
+               salt: jax.Array | None = None) -> jax.Array:
+    """Shard-local row counts per destination shard (int32[P]) under the
+    shuffle's routing (hash % P, plus optional salt). The building block
+    for loss-proof slot sizing — ≅ the reference's partition histogram
+    (compute_row_partition_numbers, hashing.cu:259-320)."""
+    P = _axis_size(axis_name)
+    part = partition_ids(table, key_names, P)
+    if salt is not None:
+        part = (part + salt) % P
+    live = table.live_mask()
+    oh = part[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :]
+    oh = jnp.logical_and(oh, live[:, None])
+    return jnp.sum(oh, axis=0, dtype=jnp.int32)
+
+
+def required_slot_capacity(table: Table, key_names: Sequence[str],
+                           axis_name: str,
+                           salt: jax.Array | None = None) -> jax.Array:
+    """Global max rows any shard sends to any destination — the exact
+    slot_capacity that makes shuffle_shard loss-proof (traced scalar;
+    fetch it eagerly to size the real shuffle)."""
+    return jax.lax.pmax(jnp.max(dest_sizes(table, key_names, axis_name,
+                                           salt)), axis_name)
+
+
 def shuffle_shard(table: Table, key_names: Sequence[str], axis_name: str,
-                  slot_capacity: int, salt: jax.Array | None = None) -> Table:
+                  slot_capacity: int, salt: jax.Array | None = None,
+                  num_batches: int = 1) -> Table:
     """Shard-local body of a distributed shuffle (call inside shard_map).
 
     After this returns, every row of the global table whose key hashes to
@@ -46,10 +73,23 @@ def shuffle_shard(table: Table, key_names: Sequence[str], axis_name: str,
     num_shards * slot_capacity, live rows in num_rows.
 
     `salt` (optional int32[n]) is folded into the partition id for
-    skew-aware re-routing (hot-key salting, see distributed.py)."""
+    skew-aware re-routing (hot-key salting, see distributed.py).
+
+    `num_batches=B` splits the exchange into B slot-row batches, each its
+    own all_to_all: XLA's async collectives then overlap batch i's wire
+    time with batch i+1's gather/pack compute (SURVEY §5's pipelined
+    exchange). Output is bit-identical to the monolithic exchange.
+
+    Loss-proofness: rows beyond `slot_capacity` for a destination would be
+    silently dropped — callers must size via required_slot_capacity()
+    (parallel/distributed.py does this by default) or check
+    dest_sizes().max() <= slot_capacity themselves."""
     P = _axis_size(axis_name)
     n = table.capacity
     require(slot_capacity * P >= 1, GDFStatus.GDF_INVALID_API_CALL)
+    require(slot_capacity % num_batches == 0,
+            GDFStatus.GDF_INVALID_API_CALL,
+            "slot_capacity must divide into num_batches")
 
     part = partition_ids(table, key_names, P)
     if salt is not None:
@@ -73,24 +113,42 @@ def shuffle_shard(table: Table, key_names: Sequence[str], axis_name: str,
     j = jnp.arange(P * S, dtype=jnp.int32)
     p = j // S
     r = j % S
-    src_pos = jnp.take(offsets, p) + r
-    slot_live = r < jnp.take(sizes, p)
-    src_row = jnp.take(perm, jnp.clip(src_pos, 0, n - 1))
 
-    # Exchange sizes (tiny) and data (one all_to_all per column buffer).
+    # Exchange sizes (tiny) and data (one all_to_all per column buffer per
+    # batch; batch k carries slot rows [k*S/B, (k+1)*S/B) of every
+    # destination).
     recv_sizes = jax.lax.all_to_all(sizes, axis_name, split_axis=0,
                                     concat_axis=0, tiled=True)
 
+    B = num_batches
+    bS = S // B
+    jb = jnp.arange(P * bS, dtype=jnp.int32)
+    pb, rb = jb // bS, jb % bS
+
+    def batch_src_rows(k):
+        rr = k * bS + rb
+        src_pos = jnp.take(offsets, pb) + rr
+        return jnp.take(perm, jnp.clip(src_pos, 0, n - 1))
+
+    src_rows = [batch_src_rows(k) for k in range(B)]
+
+    def exchange(arr):
+        outs = []
+        for k in range(B):
+            buf = jnp.take(arr, src_rows[k])
+            outs.append(jax.lax.all_to_all(buf, axis_name, split_axis=0,
+                                           concat_axis=0, tiled=True))
+        if B == 1:
+            return outs[0]
+        # received: outs[k][p*bS + r] = peer p's batch-k row r
+        # → want [p*S + k*bS + r]: stack (B, P, bS) → (P, B, bS) → flat.
+        stacked = jnp.stack([o.reshape(P, bS) for o in outs], axis=1)
+        return stacked.reshape(P * S)
+
     cols = []
     for c in table.columns:
-        data = jnp.take(c.data, src_row)
-        data = jax.lax.all_to_all(data, axis_name, split_axis=0,
-                                  concat_axis=0, tiled=True)
-        valid = c.valid
-        if valid is not None:
-            valid = jnp.take(valid, src_row)
-            valid = jax.lax.all_to_all(valid, axis_name, split_axis=0,
-                                       concat_axis=0, tiled=True)
+        data = exchange(c.data)
+        valid = None if c.valid is None else exchange(c.valid)
         cols.append(Column(data=data, valid=valid, info=c.info, name=c.name))
 
     # Receive-side liveness: slot r from peer p is live iff r < its size.
