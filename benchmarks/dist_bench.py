@@ -1,12 +1,16 @@
-"""BASELINE config 5: skewed distributed pipeline.
+"""BASELINE config 5: skewed distributed pipeline + scaling efficiency.
 
 filter → shuffle hash join → groupby over Zipf-skewed keys, hash-
 partitioned across a device mesh. Runs on any mesh: real multi-chip, or
 the virtual CPU mesh (JAX_PLATFORMS=cpu with jax_num_cpu_devices=N) —
 same code path either way (SURVEY.md §2.8).
 
+Measures the SAME per-shard workload at n_dev=1 and n_dev=N, reporting
+rows/s at each plus scaling efficiency = rate_N / (N * rate_1)
+(BASELINE target: >= 0.70). The exchange is pipelined (num_batches=2).
+
 Usage: python benchmarks/dist_bench.py [rows_per_shard] [n_devices]
-Prints a JSON line with pipeline rows/s and the skew report.
+Prints ONE JSON line.
 """
 import json
 import sys
@@ -15,11 +19,8 @@ import time
 import numpy as np
 
 
-def main():
-    rows_per_shard = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+def bench_at(n_dev: int, rows_per_shard: int, num_batches: int = 2):
     import jax
-
-    n_dev = int(sys.argv[2]) if len(sys.argv) > 2 else len(jax.devices())
 
     from libgdf_tpu import Table, ops
     from libgdf_tpu import parallel as par
@@ -41,8 +42,18 @@ def main():
     sf = par.distribute(fact, mesh)
     sd = par.distribute(dim, mesh)
 
-    hist, hot = par.detect_skew(mesh, sf, ["k"], num_bins=n_dev)
+    hist, hot = par.detect_skew(mesh, sf, ["k"], num_bins=max(n_dev, 2))
     skew_ratio = float(hist.max() / max(hist.mean(), 1.0))
+
+    # Exact loss-proof slot sizing, computed eagerly so the jitted
+    # pipeline gets static shapes (dist ops validate explicit capacities
+    # eagerly and skip the check under trace).
+    slot_join = par.exact_slot_capacity(
+        mesh, [(sf, ["k"]), (sd, ["k"])], num_batches=num_batches)
+    slot_gb = max(par.exact_slot_capacity(mesh, [(sf, ["k"])],
+                                          num_batches=num_batches),
+                  slot_join)
+    out_cap = 4 * rows_per_shard
 
     @jax.jit
     def pipeline(sf, sd):
@@ -53,12 +64,12 @@ def main():
         filtered = par.map_shards(mesh, filt, sf)
         joined = par.dist_join(
             mesh, filtered, sd, ["k"], ["k"], how="inner",
-            slot_capacity=2 * rows_per_shard,
-            out_capacity_per_shard=4 * rows_per_shard)
+            slot_capacity=slot_join, out_capacity_per_shard=out_cap,
+            num_batches=num_batches)
         return par.dist_groupby(
             mesh, joined, ["k"],
             [("v", "sum", "s"), ("v", "count", "c")],
-            slot_capacity=2 * rows_per_shard)
+            slot_capacity=slot_gb, num_batches=num_batches)
 
     out = pipeline(sf, sd)  # compile + warm
     total = int(out.total_rows())
@@ -68,16 +79,32 @@ def main():
         out = pipeline(sf, sd)
         _ = np.asarray(out.counts)  # sync
     dt = (time.perf_counter() - t0) / iters
+    return dict(rows=n, secs=dt, rows_per_s=n / dt, groups_out=total,
+                skew_max_over_mean=round(skew_ratio, 2))
+
+
+def main():
+    rows_per_shard = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+    import jax
+
+    n_dev = int(sys.argv[2]) if len(sys.argv) > 2 else len(jax.devices())
+
+    r1 = bench_at(1, rows_per_shard)
+    rN = bench_at(n_dev, rows_per_shard) if n_dev > 1 else r1
+    eff = (rN["rows_per_s"] / (n_dev * r1["rows_per_s"])
+           if n_dev > 1 else 1.0)
 
     print(json.dumps({
         "metric": "dist_pipeline_zipf",
-        "rows": n,
+        "rows": rN["rows"],
         "devices": n_dev,
-        "groups_out": total,
-        "skew_max_over_mean": round(skew_ratio, 2),
-        "secs": round(dt, 4),
-        "value": round(n / dt),
+        "groups_out": rN["groups_out"],
+        "skew_max_over_mean": rN["skew_max_over_mean"],
+        "secs": round(rN["secs"], 4),
+        "value": round(rN["rows_per_s"]),
         "unit": "rows/s",
+        "rows_per_s_1dev": round(r1["rows_per_s"]),
+        "scaling_efficiency": round(eff, 3),
     }))
 
 
