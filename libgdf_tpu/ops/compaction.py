@@ -101,10 +101,14 @@ def apply_stencil(col: Column, stencil: Column):
 def filter_table(table: Table, stencil: Column) -> Table:
     """Compact every column of a table by one stencil; one sort total.
     Returns a Table with num_rows = survivor count."""
+    from ..utils.metrics import op_metrics, table_bytes
     require(table.capacity == stencil.size,
             GDFStatus.GDF_COLUMN_SIZE_MISMATCH)
-    keep = stencil_keep_mask(stencil)
-    if table.num_rows is not None:
-        keep = jnp.logical_and(keep, table.live_mask())
-    out, count = compact_table(table, keep)
+    with op_metrics("LIBGDF_FILTER", rows_in=table.capacity,
+                    bytes_est=2 * table_bytes(table)) as m:
+        keep = stencil_keep_mask(stencil)
+        if table.num_rows is not None:
+            keep = jnp.logical_and(keep, table.live_mask())
+        out, count = compact_table(table, keep)
+        m["rows_out"] = count
     return out.with_num_rows(count)

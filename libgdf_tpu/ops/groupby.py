@@ -85,6 +85,16 @@ def groupby(table: Table, key_names: Sequence[str],
     require(len(key_names) > 0, GDFStatus.GDF_DATASET_EMPTY, "no keys")
     for a in aggs:
         require(a[1] in AGG_OPS, GDFStatus.GDF_INVALID_AGGREGATOR, a[1])
+    from ..utils.metrics import op_metrics, table_bytes
+    with op_metrics("LIBGDF_GROUPBY", rows_in=table.capacity,
+                    bytes_est=2 * table_bytes(table)) as _m:
+        out = _groupby_impl(table, key_names, aggs, dropna)
+        _m["rows_out"] = out.num_rows
+    return out
+
+
+def _groupby_impl(table: Table, key_names: Sequence[str],
+                  aggs: Sequence[tuple], dropna: bool = True) -> Table:
 
     n = table.capacity
     key_cols = [table.column(k) for k in key_names]

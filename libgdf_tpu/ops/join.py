@@ -164,6 +164,16 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     row gather."""
     require(how in ("inner", "left", "full"),
             GDFStatus.GDF_UNSUPPORTED_JOIN_TYPE, how)
+    from ..utils.metrics import op_metrics, table_bytes
+    with op_metrics("LIBGDF_JOIN", rows_in=left.capacity + right.capacity,
+                    bytes_est=table_bytes(left) + table_bytes(right)) as _m:
+        out = _join_indices_impl(left, right, left_on, right_on, how,
+                                 out_capacity)
+        _m["rows_out"] = out[2]
+    return out
+
+
+def _join_indices_impl(left, right, left_on, right_on, how, out_capacity):
     require(len(left_on) == len(right_on) and len(left_on) > 0,
             GDFStatus.GDF_JOIN_DTYPE_MISMATCH, "key column count mismatch")
     for a, b in zip(left_on, right_on):

@@ -219,7 +219,11 @@ def order_by(table: Table, key_names: Sequence[str],
     permutation output in one), so the whole sort is `ceil(keybits/64)`
     unstable u64 operands — for one 64-bit key + one 32-bit key that is 2
     operands vs the reference-shaped 4."""
+    from ..utils.metrics import op_metrics, table_bytes
     n = table.capacity
+    with op_metrics("LIBGDF_ORDERBY", rows_in=n,
+                    bytes_est=2 * table_bytes(table)) as _m:
+        _m["rows_out"] = n
     fields = key_fields(table, key_names, ascending, nulls_last)
     iota_bits = max(1, (max(n - 1, 1)).bit_length())
     words = pack_bit_fields(fields, iota_bits=iota_bits, n=n)
