@@ -52,10 +52,12 @@ def _fetch_scalar(out):
     np.asarray(jnp.ravel(leaf)[:1])
 
 
-def _time(fn, *args, k1=1, k2=5):
+def _time(fn, *args):
     """Marginal per-iteration time: dispatch k calls then fetch once;
-    (t(k2) - t(k1)) / (k2 - k1) cancels the fixed fetch/tunnel overhead
-    (~30 ms on axon)."""
+    (t(2k) - t(k)) / k cancels the fixed fetch/tunnel overhead (~30 ms on
+    axon). k grows adaptively until the marginal window is well above
+    that noise floor — a fixed small k under-resolves sub-ms ops (a
+    cached Pallas filter runs in ~0.2 ms) and reports garbage."""
 
     def run(k):
         t0 = time.perf_counter()
@@ -66,9 +68,14 @@ def _time(fn, *args, k1=1, k2=5):
         return time.perf_counter() - t0
 
     run(1)  # compile + warm
-    t1 = min(run(k1), run(k1))
-    t2 = min(run(k2), run(k2))
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+    k = 4
+    while True:
+        t_k = min(run(k), run(k))
+        t_2k = min(run(2 * k), run(2 * k))
+        window = t_2k - t_k
+        if window > 0.08 or k >= 512 or t_2k > 20.0:
+            return max(window / k, 1e-9)
+        k *= 2
 
 
 def run_config(name):
