@@ -257,12 +257,16 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity):
     def general_path(_):
         # Many-to-many expansion: scatter each emitting position's packed
         # payload at its output offset, fill forward, rank = slot - base.
-        # int64 payload: (p+1)<<2 holds positions to 2^61 — no 2^29/2^31
-        # shard ceiling (the reference's int32 cap, joining.cu:32-35).
-        p = jnp.arange(L, dtype=jnp.int64)
-        payload = ((p + 1) << 2) | flag_bits.astype(jnp.int64)
+        # Payload (p+1)<<2 packs into int32 when positions fit (the fast
+        # common case — native i32 scatter/cummax instead of x64-emulated
+        # i64); larger merges take the int64 flavor, so there is still no
+        # 2^29/2^31 shard ceiling (the reference's int32 cap,
+        # joining.cu:32-35). The choice is static (L is a shape).
+        pdt = jnp.int32 if (L + 2) < (1 << 29) else jnp.int64
+        p = jnp.arange(L, dtype=pdt)
+        payload = ((p + 1) << 2) | flag_bits.astype(pdt)
         src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
-        inv0 = jnp.zeros((cap,), jnp.int64).at[src].max(payload, mode="drop")
+        inv0 = jnp.zeros((cap,), pdt).at[src].max(payload, mode="drop")
         inv = jax.lax.cummax(inv0)
         j = jnp.arange(cap, dtype=jnp.int32)
         base = jax.lax.cummax(jnp.where(inv0 > 0, j, -1))
@@ -270,6 +274,20 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity):
         pj = jnp.maximum((inv >> 2) - 1, 0).astype(jnp.int32)
         from_query = (inv & 2) != 0
         matched = (inv & 1) != 0
+
+        # Build permutation (sorted-build position → original build row)
+        # from a small sort of the build side alone; stability makes it
+        # positionally consistent with build ranks in the merged order.
+        # Inside this branch so a runtime fast-path join never pays it.
+        if n > 0:
+            bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
+                     else b_nomatch.astype(jnp.uint8))
+            bsort = multi_sort(
+                tuple([bflag] + bkeys + [jnp.arange(n, dtype=jnp.int32)]),
+                num_keys=1 + len(bkeys))
+            build_perm = bsort[-1]
+        else:
+            build_perm = jnp.zeros((1,), jnp.int32)
 
         # fused 2-wide row gather: (original row id, run lower) at p(j)
         sb_lo = jnp.stack([s_back, run_lower], axis=1)[pj]
@@ -285,19 +303,6 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity):
             b = jnp.logical_not(from_query)
             right_idx = jnp.where(b, s_back_j, right_idx)
         return left_idx, right_idx
-
-    # Build permutation (sorted-build position → original build row) from
-    # a small separate sort of the build side alone; stability makes it
-    # positionally consistent with build ranks in the merged order.
-    if n > 0:
-        bflag = (jnp.zeros((n,), jnp.uint8) if b_nomatch is None
-                 else b_nomatch.astype(jnp.uint8))
-        bsort = multi_sort(
-            tuple([bflag] + bkeys + [jnp.arange(n, dtype=jnp.int32)]),
-            num_keys=1 + len(bkeys))
-        build_perm = bsort[-1]
-    else:
-        build_perm = jnp.zeros((1,), jnp.int32)
 
     left_idx, right_idx = jax.lax.cond(unique_build, fast_path,
                                        general_path, 0)
