@@ -264,6 +264,14 @@ def _scan_agg(vals, avalid, starts, op, group_live, out_name):
         tot = seg_scan_sum(fvals, starts)
         cnt = seg_scan_sum(ones, starts)
         avg = tot / jnp.maximum(cnt, 1)
+        if avalid is None:
+            # every group has >= 1 value: valid = liveness alone, and the
+            # okay flag need not ride the compaction (fewer routed words)
+            def build0(xs):
+                return Column(data=xs[0], valid=group_live,
+                              info=DtypeInfo(GDFDtype.FLOAT64),
+                              name=out_name)
+            return [avg], build0
         okay = cnt > 0
 
         def build(xs):
@@ -282,12 +290,15 @@ def _scan_agg(vals, avalid, starts, op, group_live, out_name):
     else:
         out = seg_scan_max(vals, starts)
 
-    if avalid is not None:
-        nvalid = seg_scan_sum(avalid.astype(jnp.int32), starts)
-        okay = nvalid > 0
-    else:
-        okay = jnp.ones(vals.shape, jnp.bool_)
     info = DtypeInfo(dtype_from_numpy(np.dtype(out.dtype)))
+    if avalid is None:
+        # no nulls: every group aggregates >= 1 value; skip the okay word
+        def build0(xs):
+            return Column(data=xs[0], valid=group_live, info=info,
+                          name=out_name)
+        return [out], build0
+    nvalid = seg_scan_sum(avalid.astype(jnp.int32), starts)
+    okay = nvalid > 0
 
     def build(xs):
         valid = jnp.logical_and(group_live, xs[1])
