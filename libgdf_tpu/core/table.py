@@ -28,7 +28,7 @@ import numpy as np
 
 from .bitmask import mask_and
 from .column import Column
-from .errors import GDFError, GDFStatus, require
+from .errors import GDFStatus, require
 
 
 @jax.tree_util.register_dataclass

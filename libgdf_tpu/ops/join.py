@@ -50,7 +50,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..core.bitmask import mask_and
+from ..core.bitmask import mask_and  # used by join()s gather helpers
 from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table

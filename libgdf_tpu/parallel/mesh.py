@@ -12,7 +12,6 @@ behind jax.lax collectives.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import numpy as np

@@ -29,7 +29,7 @@ from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
 from ..ops.compaction import compaction_indices
-from ..ops.hashing import hash_columns, partition_ids
+from ..ops.hashing import partition_ids
 
 
 def _axis_size(axis_name: str) -> int:
