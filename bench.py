@@ -174,8 +174,11 @@ def main():
                     entry = json.loads(proc.stdout.strip().splitlines()[-1])
                     entry["secs_total"] = time.perf_counter() - t0
                     break
-                log(f"{name}: attempt {attempt} rc={proc.returncode}: "
-                    f"{proc.stderr.strip().splitlines()[-1][:200] if proc.stderr.strip() else ''}")
+                err_tail = "\n".join(
+                    proc.stderr.strip().splitlines()[-8:])[:1200] \
+                    if proc.stderr.strip() else ""
+                log(f"{name}: attempt {attempt} rc={proc.returncode}:\n"
+                    f"{err_tail}")
             except subprocess.TimeoutExpired:
                 log(f"{name}: attempt {attempt} KILLED after "
                     f"{CONFIG_TIMEOUT_S}s")

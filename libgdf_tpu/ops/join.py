@@ -140,8 +140,17 @@ def lex_searchsorted(sorted_keys, query_keys, side: str) -> jax.Array:
 
 def join_indices(left: Table, right: Table, left_on: Sequence[str],
                  right_on: Sequence[str], how: str = "inner",
-                 out_capacity: int | None = None):
+                 out_capacity: int | None = None,
+                 assume_unique_build: bool = False):
     """Compute join index columns.
+
+    `assume_unique_build=True` is a PLANNER HINT that the build (right)
+    side has no duplicate keys (PK-FK join): only the gather-free fast
+    path is compiled — half the program of the dynamic dual-path join
+    (≅ the caller-picked method knob of gdf_context, types.h:161-167).
+    The hint is VERIFIED at runtime: if the build side does hold
+    duplicates, the returned count is poisoned to -1 (never a silent
+    wrong answer).
 
     Returns (left_idx: int32[cap], right_idx: int32[cap], count) where
     -1 marks the unmatched side of an outer row — exactly the reference's
@@ -168,12 +177,13 @@ def join_indices(left: Table, right: Table, left_on: Sequence[str],
     with op_metrics("LIBGDF_JOIN", rows_in=left.capacity + right.capacity,
                     bytes_est=table_bytes(left) + table_bytes(right)) as _m:
         out = _join_indices_impl(left, right, left_on, right_on, how,
-                                 out_capacity)
+                                 out_capacity, assume_unique_build)
         _m["rows_out"] = out[2]
     return out
 
 
-def _join_indices_impl(left, right, left_on, right_on, how, out_capacity):
+def _join_indices_impl(left, right, left_on, right_on, how, out_capacity,
+                       assume_unique_build=False):
     require(len(left_on) == len(right_on) and len(left_on) > 0,
             GDFStatus.GDF_JOIN_DTYPE_MISMATCH, "key column count mismatch")
     for a, b in zip(left_on, right_on):
@@ -304,8 +314,14 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity):
             right_idx = jnp.where(b, s_back_j, right_idx)
         return left_idx, right_idx
 
-    left_idx, right_idx = jax.lax.cond(unique_build, fast_path,
-                                       general_path, 0)
+    if assume_unique_build:
+        # hint: compile only the fast path; verify the hint and poison
+        # the count on violation rather than emit a wrong join.
+        left_idx, right_idx = fast_path(0)
+        total = jnp.where(unique_build, total, jnp.int64(-1))
+    else:
+        left_idx, right_idx = jax.lax.cond(unique_build, fast_path,
+                                           general_path, 0)
     j = jnp.arange(cap, dtype=jnp.int64)
     slot_live = j < total
     left_idx = jnp.where(slot_live, left_idx, -1)

@@ -294,3 +294,27 @@ def test_join_fast_path_matches_general_path(rng):
     pairs_gen = sorted(zip(np.asarray(li2)[:cnt2].tolist(),
                            np.asarray(ri2)[:cnt2].tolist()))
     assert pairs_fast == pairs_gen
+
+
+def test_assume_unique_build_hint(rng):
+    """Planner hint compiles only the fast path; verified at runtime —
+    duplicates on the build side poison the count to -1 instead of
+    emitting a wrong join."""
+    lk = rng.integers(0, 100, 500).astype(np.int32)
+    rk = np.arange(100, dtype=np.int32)
+    lt = Table.from_dict({"k": lk})
+    rt = Table.from_dict({"k": rk})
+    li0, ri0, c0 = ops.join_indices(lt, rt, ["k"], ["k"], "inner",
+                                    out_capacity=500)
+    li1, ri1, c1 = ops.join_indices(lt, rt, ["k"], ["k"], "inner",
+                                    out_capacity=500,
+                                    assume_unique_build=True)
+    assert int(c0) == int(c1) == 500
+    np.testing.assert_array_equal(np.asarray(li0), np.asarray(li1))
+    np.testing.assert_array_equal(np.asarray(ri0), np.asarray(ri1))
+    # violated hint: duplicate build keys -> poisoned count
+    rt2 = Table.from_dict({"k": np.array([1, 1, 2], dtype=np.int32)})
+    _, _, c2 = ops.join_indices(lt, rt2, ["k"], ["k"], "inner",
+                                out_capacity=2000,
+                                assume_unique_build=True)
+    assert int(c2) == -1
