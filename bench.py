@@ -133,8 +133,11 @@ def run_config(name):
         def run(pk, pnull, bk, bv):
             left = Table.from_dict({"k": pk}, nulls={"k": pnull})
             right = Table.from_dict({"k": bk, "w": bv})
+            # the build side is a key permutation (PK-FK): use the
+            # verified planner hint — the count poisons to -1 if violated
             return ops.inner_join(left, right, ["k"], ["k"],
-                                  out_capacity=n)
+                                  out_capacity=n,
+                                  assume_unique_build=True)
 
         dt = _time(run, pk, pnull, bk, bv)
 
