@@ -25,6 +25,7 @@ import numpy as np
 HBM_GBPS = 819e9  # TPU v5e
 ROOT = os.path.dirname(os.path.abspath(__file__))
 CONFIG_TIMEOUT_S = int(os.environ.get("BENCH_CONFIG_TIMEOUT_S", "420"))
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
 T0 = time.perf_counter()
 
 CONFIGS = {
@@ -167,12 +168,18 @@ def main():
     for name, bpr in CONFIGS.items():
         entry = None
         for attempt in (1, 2):
+            remaining = TOTAL_BUDGET_S - (time.perf_counter() - T0)
+            if remaining < 30:
+                log(f"{name}: skipped (total budget exhausted) - "
+                    f"rerun with BENCH_TOTAL_BUDGET_S higher")
+                break
             try:
                 t0 = time.perf_counter()
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), name],
                     capture_output=True, text=True,
-                    timeout=CONFIG_TIMEOUT_S, cwd=ROOT)
+                    timeout=min(CONFIG_TIMEOUT_S, max(30, int(remaining))),
+                    cwd=ROOT)
                 if proc.returncode == 0 and proc.stdout.strip():
                     entry = json.loads(proc.stdout.strip().splitlines()[-1])
                     entry["secs_total"] = time.perf_counter() - t0
