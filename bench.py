@@ -30,11 +30,15 @@ T0 = time.perf_counter()
 
 # Ordered cheapest-compile-first so a tight total budget still lands the
 # maximum number of real measurements before the soft deadline.
+# name -> (roofline min bytes/row, target rows, fallback rows or None).
+# The fallback runs when the target scale fails/times out: a smaller,
+# honestly-labeled measurement (failed_at_target_scale=true) preserves
+# geomean signal instead of poisoning it to 1.0 rows/s.
 CONFIGS = {
-    "filter_1M": 9,       # name -> roofline min bytes/row
-    "join_10Mx1M": 16,
-    "orderby_50M": 24,
-    "groupby_10M": 24,
+    "filter_1M": (9, 1_000_000, None),
+    "join_10Mx1M": (16, 10_000_000, 2_000_000),
+    "orderby_50M": (24, 50_000_000, 10_000_000),
+    "groupby_10M": (24, 10_000_000, 2_000_000),
 }
 
 
@@ -76,13 +80,20 @@ def _time(fn, *args):
         t_k = min(run(k), run(k))
         t_2k = min(run(2 * k), run(2 * k))
         window = t_2k - t_k
-        if window > 0.08 or k >= 512 or t_2k > 20.0:
-            return max(window / k, 1e-9)
+        if window > 0.08:
+            return window / k
+        if k >= 512 or t_2k > 20.0:
+            # Marginal window never resolved above the noise floor (or
+            # went negative on timing jitter): fall back to the absolute
+            # per-iteration time — a conservative upper bound — rather
+            # than report an inflated rate from a near-zero window.
+            return t_2k / (2 * k)
         k *= 2
 
 
-def run_config(name):
-    """Child-process entry: run one config, print its result JSON."""
+def run_config(name, rows=None):
+    """Child-process entry: run one config (optionally at a reduced row
+    count — the fallback scale), print its result JSON."""
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -96,8 +107,10 @@ def run_config(name):
 
     rng = np.random.default_rng(0)
 
+    n_target = CONFIGS[name][1]
+    n = int(rows) if rows else n_target
+
     if name == "filter_1M":
-        n = 1_000_000
         a = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
         nullm = jnp.asarray(rng.random(n) < 0.1)
 
@@ -111,7 +124,6 @@ def run_config(name):
         dt = _time(run, a, nullm)
 
     elif name == "groupby_10M":
-        n = 10_000_000
         k = jnp.asarray(rng.integers(0, 100_000, n).astype(np.int64))
         v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
@@ -126,7 +138,7 @@ def run_config(name):
         dt = _time(run, k, v)
 
     elif name == "join_10Mx1M":
-        n, nb = 10_000_000, 1_000_000
+        nb = 1_000_000
         pk = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
         pnull = jnp.asarray(rng.random(n) < 0.05)
         bk = jnp.asarray(rng.permutation(nb).astype(np.int32))
@@ -145,7 +157,6 @@ def run_config(name):
         dt = _time(run, pk, pnull, bk, bv)
 
     elif name == "orderby_50M":
-        n = 50_000_000
         k1 = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
         k2 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         k2null = jnp.asarray(rng.random(n) < 0.02)
@@ -160,49 +171,100 @@ def run_config(name):
     else:
         raise SystemExit(f"unknown config {name}")
 
-    rows = {"filter_1M": 1_000_000, "groupby_10M": 10_000_000,
-            "join_10Mx1M": 10_000_000, "orderby_50M": 50_000_000}[name]
-    print(json.dumps({"rows": rows, "secs": dt, "rows_per_s": rows / dt}))
+    print(json.dumps({"rows": n, "secs": dt, "rows_per_s": n / dt}))
+
+
+def _wait_for_drain(max_wait_s=300):
+    """Killing a bench subprocess does NOT kill its in-flight server-side
+    compile: later compiles QUEUE behind the zombie until it finishes
+    (measured round 4: a trivial jit hung >115 s for ~15 min after one
+    killed 10M-join compile). Poll a tiny-jit canary until the queue
+    responds, so the next attempt gets a clean run instead of dying in
+    line behind the last one."""
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "np.asarray(jax.jit(lambda a: a + 1)(jnp.arange(8))[:1]); "
+            "print('ok')")
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        budget_left = TOTAL_BUDGET_S - (time.perf_counter() - T0)
+        if budget_left < 60:
+            return False
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=min(120, max(30, int(budget_left))))
+            if p.returncode == 0 and "ok" in p.stdout:
+                log("compile queue drained")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        except Exception:  # noqa: BLE001
+            return True
+    return False
+
+
+def _try_config(name, rows, attempts=2):
+    """Run one (config, rows) in a subprocess; return entry dict or None."""
+    killed = False
+    for attempt in range(1, attempts + 1):
+        remaining = TOTAL_BUDGET_S - (time.perf_counter() - T0)
+        if remaining < 30:
+            log(f"{name}@{rows}: skipped (total budget exhausted) - "
+                f"rerun with BENCH_TOTAL_BUDGET_S higher")
+            return None
+        if killed:
+            _wait_for_drain()
+            killed = False
+        try:
+            t0 = time.perf_counter()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name,
+                 str(rows)],
+                capture_output=True, text=True,
+                timeout=min(CONFIG_TIMEOUT_S, max(30, int(remaining))),
+                cwd=ROOT)
+            if proc.returncode == 0 and proc.stdout.strip():
+                entry = json.loads(proc.stdout.strip().splitlines()[-1])
+                entry["secs_total"] = time.perf_counter() - t0
+                return entry
+            err_tail = "\n".join(
+                proc.stderr.strip().splitlines()[-8:])[:1200] \
+                if proc.stderr.strip() else ""
+            log(f"{name}@{rows}: attempt {attempt} rc={proc.returncode}:\n"
+                f"{err_tail}")
+        except subprocess.TimeoutExpired:
+            log(f"{name}@{rows}: attempt {attempt} KILLED after "
+                f"{CONFIG_TIMEOUT_S}s")
+            killed = True
+        except Exception as e:  # noqa: BLE001
+            log(f"{name}@{rows}: attempt {attempt} {type(e).__name__}: "
+                f"{str(e)[:200]}")
+    if killed:
+        _wait_for_drain()   # do not poison the NEXT config either
+    return None
 
 
 def main():
     results = {}
-    for name, bpr in CONFIGS.items():
-        entry = None
-        for attempt in (1, 2):
-            remaining = TOTAL_BUDGET_S - (time.perf_counter() - T0)
-            if remaining < 30:
-                log(f"{name}: skipped (total budget exhausted) - "
-                    f"rerun with BENCH_TOTAL_BUDGET_S higher")
-                break
-            try:
-                t0 = time.perf_counter()
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), name],
-                    capture_output=True, text=True,
-                    timeout=min(CONFIG_TIMEOUT_S, max(30, int(remaining))),
-                    cwd=ROOT)
-                if proc.returncode == 0 and proc.stdout.strip():
-                    entry = json.loads(proc.stdout.strip().splitlines()[-1])
-                    entry["secs_total"] = time.perf_counter() - t0
-                    break
-                err_tail = "\n".join(
-                    proc.stderr.strip().splitlines()[-8:])[:1200] \
-                    if proc.stderr.strip() else ""
-                log(f"{name}: attempt {attempt} rc={proc.returncode}:\n"
-                    f"{err_tail}")
-            except subprocess.TimeoutExpired:
-                log(f"{name}: attempt {attempt} KILLED after "
-                    f"{CONFIG_TIMEOUT_S}s")
-            except Exception as e:  # noqa: BLE001
-                log(f"{name}: attempt {attempt} {type(e).__name__}: "
-                    f"{str(e)[:200]}")
+    for name, (bpr, target_rows, fallback_rows) in CONFIGS.items():
+        entry = _try_config(name, target_rows)
+        if entry is None and fallback_rows:
+            # Partial credit: measure the same op at a reduced scale and
+            # label it honestly — a degraded geomean beats a poisoned one.
+            log(f"{name}: target scale failed; trying fallback "
+                f"{fallback_rows} rows")
+            entry = _try_config(name, fallback_rows, attempts=1)
+            if entry is not None:
+                entry["failed_at_target_scale"] = True
+                entry["target_rows"] = target_rows
         if entry is None:
             entry = dict(rows=0, secs=0.0, rows_per_s=1.0, failed=True)
         entry["min_bytes_per_row"] = bpr
         results[name] = entry
-        log(f"{name}: {entry['rows_per_s']:.3e} rows/s"
-            + (" (FAILED)" if entry.get("failed") else ""))
+        note = " (FAILED)" if entry.get("failed") else (
+            " (fallback scale)" if entry.get("failed_at_target_scale")
+            else "")
+        log(f"{name}: {entry['rows_per_s']:.3e} rows/s{note}")
 
     ratios, rates = [], []
     for cfg in results.values():
@@ -226,6 +288,7 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1:
-        run_config(sys.argv[1])
+        run_config(sys.argv[1],
+                   rows=int(sys.argv[2]) if len(sys.argv) > 2 else None)
     else:
         main()

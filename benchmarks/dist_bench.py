@@ -13,6 +13,7 @@ Usage: python benchmarks/dist_bench.py [rows_per_shard] [n_devices]
 Prints ONE JSON line.
 """
 import json
+import os
 import sys
 import time
 
@@ -50,25 +51,31 @@ def bench_at(n_dev: int, rows_per_shard: int, num_batches: int = 2):
     # eagerly and skip the check under trace).
     slot_join = par.exact_slot_capacity(
         mesh, [(sf, ["k"]), (sd, ["k"])], num_batches=num_batches)
-    slot_gb = max(par.exact_slot_capacity(mesh, [(sf, ["k"])],
-                                          num_batches=num_batches),
-                  slot_join)
     out_cap = 4 * rows_per_shard
+    aggs = [("v", "sum", "s"), ("v", "count", "c")]
 
-    @jax.jit
-    def pipeline(sf, sd):
+    def front(sf, sd):
         def filt(local):
             stencil = ops.compare_scalar(local["v"], -1.0, "gt")
             return ops.filter_table(local, stencil)
 
         filtered = par.map_shards(mesh, filt, sf)
-        joined = par.dist_join(
+        return par.dist_join(
             mesh, filtered, sd, ["k"], ["k"], how="inner",
             slot_capacity=slot_join, out_capacity_per_shard=out_cap,
             num_batches=num_batches)
+
+    # The groupby exchange's input is the JOIN OUTPUT (whose per-shard
+    # distinct-key count can exceed any bound from sf/sd alone — ADVICE
+    # r3): run the join eagerly once and size the slot from its actual
+    # output, so the fully-jitted pipeline can never silently drop rows.
+    slot_gb = par.exact_groupby_slot_capacity(
+        mesh, front(sf, sd), ["k"], aggs, num_batches=num_batches)
+
+    @jax.jit
+    def pipeline(sf, sd):
         return par.dist_groupby(
-            mesh, joined, ["k"],
-            [("v", "sum", "s"), ("v", "count", "c")],
+            mesh, front(sf, sd), ["k"], aggs,
             slot_capacity=slot_gb, num_batches=num_batches)
 
     out = pipeline(sf, sd)  # compile + warm
@@ -87,7 +94,22 @@ def main():
     rows_per_shard = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
     import jax
 
-    n_dev = int(sys.argv[2]) if len(sys.argv) > 2 else len(jax.devices())
+    # Default to a virtual CPU device mesh: this environment pre-imports
+    # jax pinned to the single-chip axon TPU (env vars are too late — see
+    # tests/conftest.py), so the multi-device scaling measurement must
+    # force the CPU platform through jax.config BEFORE backend init.
+    # Set DIST_BENCH_PLATFORM=tpu to run on real multi-chip hardware.
+    want = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    if os.environ.get("DIST_BENCH_PLATFORM", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_num_cpu_devices", want)
+        except Exception:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") +
+                f" --xla_force_host_platform_device_count={want}")
+
+    n_dev = min(want, len(jax.devices()))
 
     r1 = bench_at(1, rows_per_shard)
     rN = bench_at(n_dev, rows_per_shard) if n_dev > 1 else r1

@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+from ..ops import engine
 import jax.numpy as jnp
 
 from ..core.dtypes import GDFDtype
@@ -56,5 +57,5 @@ def gdf_to_csr(columns, num_cols: int | None = None) -> CSR:
     JA = (perm % k).astype(jnp.int64)
     per_row = jnp.sum(valid, axis=1, dtype=jnp.int32)
     IA = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                          jnp.cumsum(per_row, dtype=jnp.int32)])
+                          engine.cumsum(per_row, jnp.int32)])
     return CSR(A=A, IA=IA, JA=JA, dtype=gdt, nnz=nnz, rows=n, cols=k)

@@ -60,16 +60,30 @@ def compact_table(table: Table, keep: jax.Array):
     return Table(columns=tuple(cols), names=table.names), count
 
 
+# Above this row count the v1 Pallas routing kernel's compile+runtime
+# scale super-linearly with the grid (measured v5e: 59 us/block at 1M rows
+# but 1.2 ms/block + 1022 s compile at 11M) — v1 falls back to the fused
+# payload sort past it. The v2 kernel (pallas/compact2.py: offset-
+# prefetched block pipeline) has no such cliff and is the default.
+# Override via engine.configure(pallas_compact_max_rows=...).
+PALLAS_COMPACT_MAX_ROWS = 2_097_152
+
+
 def compact_arrays(arrays, keep: jax.Array):
     """Stable stream compaction of raw arrays: returns (compacted arrays,
-    count). Backend-selected: Pallas monotone-routing kernel on TPU
+    count). Backend-selected (engine.configure): Pallas kernel on TPU
     (~100x the sort path), fused 1-key payload sort elsewhere."""
     arrays = list(arrays)
     if engine.use_pallas() or engine.pallas_interpret():
         from .pallas import compact_pallas, compact_pallas_supported
+        from .pallas.compact2 import compact_pallas2
         if compact_pallas_supported(arrays):
-            return compact_pallas(arrays, keep,
-                                  interpret=engine.pallas_interpret())
+            if engine.compact_backend() == "v2":
+                return compact_pallas2(arrays, keep,
+                                       interpret=engine.pallas_interpret())
+            if keep.shape[0] <= engine.pallas_compact_max_rows():
+                return compact_pallas(arrays, keep,
+                                      interpret=engine.pallas_interpret())
     drop = jnp.logical_not(keep).astype(jnp.uint8)
     res = multi_sort([drop] + arrays, num_keys=1)
     return list(res[1:]), jnp.sum(keep, dtype=jnp.int32)

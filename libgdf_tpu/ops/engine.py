@@ -20,8 +20,10 @@ The reference never faced this: CUDA gathers are memory-speed
 (thrust::gather, libgdf/src/gdf_table.cuh:874-963), so its operators
 permute via index buffers. On TPU the fused-payload-sort *is* the gather.
 
-`multi_sort` is the single seam where a Pallas sort backend replaces
-XLA's comparator-network sort (see ops/pallas/).
+`multi_sort` currently lowers to `jax.lax.sort` on every backend; the
+Pallas kernels that bypass it live beside the operators that use them
+(ops/pallas/compact.py for stream compaction) rather than behind this
+function.
 """
 from __future__ import annotations
 
@@ -34,18 +36,43 @@ import jax.numpy as jnp
 # None = auto: Pallas kernels on TPU, XLA fallbacks elsewhere (CPU tests).
 _USE_PALLAS = None
 _INTERPRET = False  # run Pallas kernels in interpreter mode (debugging)
+_PALLAS_COMPACT_MAX_ROWS = None  # None = ops.compaction default
+_COMPACT_BACKEND = "v2"  # "v2" (offset-prefetched) | "v1" (size-guarded)
 
 
 def configure(use_pallas: bool | None = None,
-              interpret: bool = False) -> None:
+              interpret: bool = False,
+              pallas_compact_max_rows: int | None = None,
+              compact_backend: str = "v2") -> None:
     """Select the compute backend for data-movement primitives.
 
     use_pallas=None (default) picks Pallas kernels on TPU and the XLA
     lax.sort fallbacks on CPU; True/False forces. interpret=True runs the
-    Pallas kernels in interpreter mode (any backend; slow — testing only)."""
-    global _USE_PALLAS, _INTERPRET
+    Pallas kernels in interpreter mode (any backend; slow — testing only).
+    compact_backend picks the Pallas compaction kernel: "v2" (default,
+    pallas/compact2.py — flat scaling) or "v1" (pallas/compact.py —
+    super-linear past ~2M rows, kept for comparison), where "v1" falls
+    back to the fused payload sort above pallas_compact_max_rows (None =
+    the measured default in ops/compaction.py)."""
+    global _USE_PALLAS, _INTERPRET, _PALLAS_COMPACT_MAX_ROWS
+    global _COMPACT_BACKEND
     _USE_PALLAS = use_pallas
     _INTERPRET = interpret
+    _PALLAS_COMPACT_MAX_ROWS = pallas_compact_max_rows
+    if compact_backend not in ("v1", "v2"):
+        raise ValueError(f"unknown compact_backend {compact_backend!r}")
+    _COMPACT_BACKEND = compact_backend
+
+
+def compact_backend() -> str:
+    return _COMPACT_BACKEND
+
+
+def pallas_compact_max_rows() -> int:
+    if _PALLAS_COMPACT_MAX_ROWS is not None:
+        return _PALLAS_COMPACT_MAX_ROWS
+    from .compaction import PALLAS_COMPACT_MAX_ROWS
+    return PALLAS_COMPACT_MAX_ROWS
 
 
 def use_pallas() -> bool:
@@ -86,6 +113,75 @@ def argsort_keys(keys: Sequence[jax.Array], payloads: Sequence[jax.Array] = ()):
 
 
 # ---------------------------------------------------------------------------
+# 1-D scans — the engine's second data-movement primitive.
+#
+# Axon server-compile costs measured round 4 (11M rows, quiet chip):
+# native jnp.cumsum first-run = 105 s (steady 8.4 ms); an
+# associative_scan-based blocked reformulation was WORSE (>550 s). Sorts
+# by contrast compile fast (orderby 50M cold = 27 s in r3). Every scan
+# here routes through these wrappers so a Pallas scan backend
+# (ops/pallas/scan.py — Mosaic-compiled, compile time flat in n) can
+# replace the XLA lowering on TPU.
+# ---------------------------------------------------------------------------
+
+
+def _assoc_scan(comb, xs, reverse: bool = False):
+    """1-D associative scan over a tuple of equally-shaped arrays.
+    Inclusive; `reverse=True` scans suffixes."""
+    return jax.lax.associative_scan(comb, tuple(xs), reverse=reverse)
+
+
+def _pallas_scans() -> bool:
+    return use_pallas() or pallas_interpret()
+
+
+def cumsum(x: jax.Array, dtype=None) -> jax.Array:
+    """Inclusive prefix sum (see module scan note)."""
+    if dtype is not None:
+        x = x.astype(dtype)
+    if _pallas_scans():
+        from .pallas.scan import scan_pallas, scan_pallas_supported
+        if scan_pallas_supported(x):
+            return scan_pallas("sum", x, interpret=pallas_interpret())
+    return jnp.cumsum(x)
+
+
+def cummax(x: jax.Array) -> jax.Array:
+    if _pallas_scans():
+        from .pallas.scan import scan_pallas, scan_pallas_supported
+        if scan_pallas_supported(x):
+            return scan_pallas("max", x, interpret=pallas_interpret())
+    return jax.lax.cummax(x)
+
+
+def cummin(x: jax.Array, reverse: bool = False) -> jax.Array:
+    if not reverse and _pallas_scans():
+        from .pallas.scan import scan_pallas, scan_pallas_supported
+        if scan_pallas_supported(x):
+            return scan_pallas("min", x, interpret=pallas_interpret())
+    return jax.lax.cummin(x, reverse=reverse)
+
+
+def _seg_scan(kind: str, vals, starts):
+    """Segmented scan dispatch: Pallas pair kernel for 4-byte values on
+    TPU, associative_scan elsewhere / for 64-bit values."""
+    if _pallas_scans():
+        from .pallas.scan import scan_pallas_pair, scan_pallas_supported
+        if scan_pallas_supported(vals, starts):
+            return scan_pallas_pair(kind, starts, vals,
+                                    interpret=pallas_interpret())
+    op = {"sum": lambda a, b: a + b, "max": jnp.maximum,
+          "min": jnp.minimum}[kind]
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, op(va, vb))
+    _, out = _assoc_scan(comb, (starts, vals))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Segmented scans — the TPU replacement for scatter-add segment reductions
 # (jax.ops.segment_sum measured at 0.116 Grows/s: it lowers to scatter-add,
 #  which serializes on TPU; an associative segmented scan runs ~40x faster).
@@ -96,41 +192,39 @@ def seg_scan_sum(vals: jax.Array, starts: jax.Array) -> jax.Array:
     Value at each segment's last row = the segment total.
 
     ≅ thrust::reduce_by_key's sum path (sqls_rtti_comp.hpp:496-505)."""
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va + vb)
-    _, out = jax.lax.associative_scan(comb, (starts, vals))
-    return out
+    return _seg_scan("sum", vals, starts)
 
 
 def seg_scan_min(vals, starts):
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, jnp.minimum(va, vb))
-    _, out = jax.lax.associative_scan(comb, (starts, vals))
-    return out
+    return _seg_scan("min", vals, starts)
 
 
 def seg_scan_max(vals, starts):
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
-    _, out = jax.lax.associative_scan(comb, (starts, vals))
-    return out
+    return _seg_scan("max", vals, starts)
 
 
-def last_valid_scan(valid: jax.Array, vals: jax.Array):
+def last_valid_scan(valid: jax.Array, vals: jax.Array,
+                    with_flag: bool = False):
     """For each position i, the value at the latest j <= i with valid[j]
     (carry-forward fill). Positions before the first valid keep vals[i].
+    Returns (filled, seen) — `seen` (whether any valid j <= i exists) is
+    only computed when with_flag=True (it costs a second scan on the
+    Pallas path); otherwise it may be None.
 
     Replaces gather-by-cummax-index patterns (a 10M-row gather costs ~70ms;
     this scan ~4ms)."""
+    if _pallas_scans():
+        from .pallas.scan import scan_pallas_pair, scan_pallas_supported
+        if scan_pallas_supported(vals, valid):
+            out = scan_pallas_pair("carry", valid, vals,
+                                   interpret=pallas_interpret())
+            seen = (cummax(valid.astype(jnp.int32)) > 0 if with_flag
+                    else None)
+            return out, seen
+
     def comb(a, b):
         fa, va = a
         fb, vb = b
         return fa | fb, jnp.where(fb, vb, va)
-    f, out = jax.lax.associative_scan(comb, (valid, vals))
-    return out, f
+    f, out = _assoc_scan(comb, (valid, vals))
+    return jnp.where(f, out, vals), f

@@ -255,7 +255,14 @@ def _scan_agg(vals, avalid, starts, op, group_live, out_name):
 
     if op == "avg":
         # ≅ multi_pass_avg (groupby.cuh:308-419): sum + count, divide.
-        fvals = vals.astype(jnp.float64)
+        # float32-and-smaller inputs accumulate in f32: the scan then
+        # rides the Pallas kernel (4-byte lanes); a f64 accumulator would
+        # fall back to XLA's scan — the axon server-compile bomb (105 s+
+        # at 10M). f64/int inputs keep the f64 accumulator (exactness).
+        acc_dt = (jnp.float32 if vals.dtype in (jnp.dtype(jnp.float32),
+                                                jnp.dtype(jnp.float16))
+                  else jnp.float64)
+        fvals = vals.astype(acc_dt)
         if avalid is not None:
             fvals = jnp.where(avalid, fvals, 0.0)
             ones = avalid.astype(jnp.int32)
@@ -263,7 +270,7 @@ def _scan_agg(vals, avalid, starts, op, group_live, out_name):
             ones = jnp.ones(vals.shape, jnp.int32)
         tot = seg_scan_sum(fvals, starts)
         cnt = seg_scan_sum(ones, starts)
-        avg = tot / jnp.maximum(cnt, 1)
+        avg = tot.astype(jnp.float64) / jnp.maximum(cnt, 1)
         if avalid is None:
             # every group has >= 1 value: valid = liveness alone, and the
             # okay flag need not ride the compaction (fewer routed words)

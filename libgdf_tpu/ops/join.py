@@ -54,6 +54,7 @@ from ..core.bitmask import mask_and  # used by join()s gather helpers
 from ..core.column import Column
 from ..core.errors import GDFStatus, require
 from ..core.table import Table
+from . import engine
 from .engine import last_valid_scan, multi_sort
 from .sort import radix_encode
 
@@ -277,9 +278,9 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity,
         payload = ((p + 1) << 2) | flag_bits.astype(pdt)
         src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
         inv0 = jnp.zeros((cap,), pdt).at[src].max(payload, mode="drop")
-        inv = jax.lax.cummax(inv0)
+        inv = engine.cummax(inv0)
         j = jnp.arange(cap, dtype=jnp.int32)
-        base = jax.lax.cummax(jnp.where(inv0 > 0, j, -1))
+        base = engine.cummax(jnp.where(inv0 > 0, j, -1))
         rank = j - base
         pj = jnp.maximum((inv >> 2) - 1, 0).astype(jnp.int32)
         from_query = (inv & 2) != 0
@@ -445,14 +446,14 @@ def _emit_plan(how, bkeys, pkeys, b_nomatch, p_nomatch, b_live, p_live):
         s_live = (s_ctl & 2) != 0
         countable = 1 - s_isq
 
-    nbuild_before = jnp.cumsum(countable, dtype=jnp.int32) - countable
+    nbuild_before = engine.cumsum(countable, jnp.int32) - countable
 
     key_change = jnp.zeros((L,), jnp.bool_).at[0].set(True)
     for k in s_enc_keys:
         key_change = jnp.logical_or(
             key_change,
             jnp.concatenate([jnp.ones((1,), jnp.bool_), k[1:] != k[:-1]]))
-    run_lower = jax.lax.cummax(jnp.where(key_change, nbuild_before, -1))
+    run_lower = engine.cummax(jnp.where(key_change, nbuild_before, -1))
 
     isq = s_isq == 1
     matchable = s_matchable
@@ -466,15 +467,15 @@ def _emit_plan(how, bkeys, pkeys, b_nomatch, p_nomatch, b_live, p_live):
     if how in ("left", "full"):
         emit = jnp.where(isq & live & (cnt == 0), 1, emit)
     if how == "full":
-        run_id = jnp.cumsum(key_change, dtype=jnp.int32) - 1
+        run_id = engine.cumsum(key_change, jnp.int32) - 1
         qrun = jnp.where(isq & matchable, run_id, jnp.int32(2**31 - 1))
         b_matched = jnp.logical_and(
-            jax.lax.cummin(qrun, reverse=True) == run_id,
+            engine.cummin(qrun, reverse=True) == run_id,
             jnp.logical_and(~isq, matchable))
         emit = jnp.where(~isq & live & ~b_matched, 1, emit)
         aux["b_matched"] = b_matched
 
-    offsets = jnp.cumsum(emit, dtype=jnp.int32) - emit
+    offsets = engine.cumsum(emit, jnp.int32) - emit
     # Exact count in int64 — never wraps even when the int32 offsets would
     # (rows past the caller's capacity are dropped by the scatter, but the
     # returned count is always true, so overflow is detectable).

@@ -10,5 +10,6 @@ streamcompactionops.cu) — redesigned for the TPU's 8x128 vector lanes,
 sequential Pallas grid, and DMA engines instead of warp atomics.
 """
 from .compact import compact_pallas, compact_pallas_supported
+from .compact2 import compact_pallas2
 
-__all__ = ["compact_pallas", "compact_pallas_supported"]
+__all__ = ["compact_pallas", "compact_pallas2", "compact_pallas_supported"]

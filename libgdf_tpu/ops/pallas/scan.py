@@ -1,0 +1,246 @@
+"""1-D prefix scans as Pallas TPU kernels.
+
+Why: XLA's scan lowerings are the axon backend's server-compile bomb —
+measured round 4 on a quiet chip at 11M rows: `jnp.cumsum` first-run
+105 s (the server compiles lazily at first execution), an
+associative_scan-based blocked reformulation >550 s. Sorts compile fast
+(50M orderby cold = 27 s), so scans were the reason the join/groupby
+bench graphs could not land. A Mosaic-compiled scan kernel's compile
+time is flat in n (the grid is a runtime parameter).
+
+Kernels (all inclusive, forward, over the row-major flat order):
+
+  scan_pallas(kind, vals)            kind ∈ {sum, max, min}
+  scan_pallas_pair(kind, flags, vals)  kind ∈ {sum, max, min, carry}
+      segmented scan: `flags` marks segment heads; "carry" is the
+      carry-forward-last-flagged fill (ops/engine.py::last_valid_scan).
+
+Supported value dtypes: int32 / uint32 / float32 (native VPU words).
+64-bit dtypes fall back to XLA in the engine wrappers (Mosaic has no
+64-bit lanes; x64 emulation would re-introduce the compile bomb).
+
+Structure: sequential grid over (ROWS, LANES) blocks; within a block a
+log-step lane scan + row-total scan (pltpu.roll with STATIC shifts);
+the cross-block running prefix is carried in a (1, LANES) VMEM scratch.
+
+≅ reference: thrust::inclusive_scan / reduce_by_key uses
+(prefixsumops.cu, sqls_rtti_comp.hpp:468-509) — re-expressed for the
+8x128 VPU instead of CUB's warp scans."""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compact import LANES, _i32, _pad_to
+
+ROWS = 512
+BLOCK = ROWS * LANES
+
+# identities as PYTHON scalars: they fold into the kernel as compile-time
+# constants (a jnp scalar would be a captured tracer, which pallas_call
+# rejects).
+_IDENT = {
+    "sum": lambda dt: 0,
+    "max": lambda dt: (-np.inf if jnp.issubdtype(dt, jnp.floating)
+                       else int(jnp.iinfo(dt).min)),
+    "min": lambda dt: (np.inf if jnp.issubdtype(dt, jnp.floating)
+                       else int(jnp.iinfo(dt).max)),
+    "carry": lambda dt: 0,
+}
+
+_VOP = {
+    "sum": lambda a, b: a + b,
+    "max": jnp.maximum,
+    "min": jnp.minimum,
+}
+
+
+def _scan_axis_val(op, x, axis):
+    """Inclusive scan along one axis, static log-step rolls."""
+    size = x.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    s = 1
+    while s < size:
+        shifted = pltpu.roll(x, np.int32(s), axis)
+        x = jnp.where(idx >= s, op(shifted, x), x)
+        s <<= 1
+    return x
+
+
+def _scan_axis_pair(kind, f, v, axis):
+    """Inclusive PAIR scan: f segment-head flags (i32 0/1), v values.
+    combine((fa,va),(fb,vb)) = (fa|fb, fb ? vb : op(va, vb))
+    ("carry": op keeps va — carry-forward of the last flagged value)."""
+    size = f.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, axis)
+    s = 1
+    while s < size:
+        fs = pltpu.roll(f, np.int32(s), axis)
+        vs = pltpu.roll(v, np.int32(s), axis)
+        live = idx >= s
+        if kind == "carry":
+            nv = jnp.where(f != 0, v, vs)
+        else:
+            nv = jnp.where(f != 0, v, _VOP[kind](vs, v))
+        v = jnp.where(live, nv, v)
+        f = jnp.where(live, fs | f, f)
+        s <<= 1
+    return f, v
+
+
+def _bcast_last(x):
+    """(ROWS, LANES) -> (1, LANES) broadcast of the flat-last element."""
+    return jnp.broadcast_to(x[ROWS - 1:ROWS, LANES - 1:LANES], (1, LANES))
+
+
+def _val_kernel(kind, ident, in_ref, out_ref, carry_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        carry_ref[...] = jnp.full((1, LANES), ident, carry_ref.dtype)
+
+    x = in_ref[...]
+    # flat scan: lanes within rows, then row totals down rows
+    x = _scan_axis_val(_VOP[kind], x, 1)
+    row_tot = _scan_axis_val(_VOP[kind], x[:, LANES - 1:LANES], 0)
+    row_excl = pltpu.roll(row_tot, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    row_excl = jnp.where(rowi >= 1, row_excl,
+                         jnp.full((ROWS, 1), ident, x.dtype))
+    x = _VOP[kind](row_excl, x)
+    x = _VOP[kind](carry_ref[0:1, :], x)
+    out_ref[...] = x
+    carry_ref[...] = _bcast_last(x)
+
+
+def _pair_kernel(kind, ident, f_ref, v_ref, out_ref, cf_ref, cv_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        cf_ref[...] = jnp.zeros((1, LANES), jnp.int32)
+        cv_ref[...] = jnp.full((1, LANES), ident, cv_ref.dtype)
+
+    f = f_ref[...]
+    v = v_ref[...]
+    v_orig = v
+    f, v = _scan_axis_pair(kind, f, v, 1)
+    lf, lv = f[:, LANES - 1:LANES], v[:, LANES - 1:LANES]
+    lf, lv = _scan_axis_pair(kind, lf, lv, 0)
+    ef = pltpu.roll(lf, np.int32(1), 0)
+    ev = pltpu.roll(lv, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    ef = jnp.where(rowi >= 1, ef, jnp.zeros((ROWS, 1), jnp.int32))
+    ev = jnp.where(rowi >= 1, ev, jnp.full((ROWS, 1), ident, v.dtype))
+    # combine row-exclusive prefix (a) into each element (b):
+    if kind == "carry":
+        v = jnp.where(f != 0, v, ev)
+    else:
+        v = jnp.where(f != 0, v, _VOP[kind](ev, v))
+    f = ef | f
+    # combine cross-block carry
+    if kind == "carry":
+        v = jnp.where(f != 0, v, cv_ref[0:1, :])
+    else:
+        v = jnp.where(f != 0, v, _VOP[kind](cv_ref[0:1, :], v))
+    f = cf_ref[0:1, :] | f
+    if kind == "carry":
+        # positions with NO flagged element at or before them keep their
+        # own value (the fill semantics of engine.last_valid_scan)
+        out_ref[...] = jnp.where(f != 0, v, v_orig)
+    else:
+        out_ref[...] = v
+    cf_ref[...] = _bcast_last(f)
+    cv_ref[...] = _bcast_last(v)
+
+
+def _supported_dtype(dt) -> bool:
+    return jnp.dtype(dt) in (jnp.dtype(jnp.int32), jnp.dtype(jnp.uint32),
+                             jnp.dtype(jnp.float32))
+
+
+def scan_pallas_supported(vals, flags=None) -> bool:
+    ok = _supported_dtype(vals.dtype)
+    if flags is not None:
+        ok = ok and flags.dtype in (jnp.bool_, jnp.int32)
+    return bool(ok)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "interpret"))
+def _run_val(kind, x, *, interpret=False):
+    n = x.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    ident = _IDENT[kind](x.dtype)
+    xp = x
+    if npad != n:
+        xp = jnp.concatenate([x, jnp.full((npad - n,), ident, x.dtype)])
+    x2 = xp.reshape(nblocks * ROWS, LANES)
+    out = pl.pallas_call(
+        functools.partial(_val_kernel, kind, ident),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * ROWS, LANES), x.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x2)
+    return out.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "interpret"))
+def _run_pair(kind, flags, vals, *, interpret=False):
+    n = vals.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    ident = _IDENT[kind](vals.dtype)
+    f = _pad_to(flags.astype(jnp.int32), npad)
+    v = vals
+    if npad != n:
+        v = jnp.concatenate([v, jnp.full((npad - n,), ident, v.dtype)])
+    f2 = f.reshape(nblocks * ROWS, LANES)
+    v2 = v.reshape(nblocks * ROWS, LANES)
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, kind, ident),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                       vals.dtype),
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
+                        pltpu.VMEM((1, LANES), vals.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(f2, v2)
+    return out.reshape(-1)[:n]
+
+
+def scan_pallas(kind: str, vals, *, interpret: bool = False):
+    """Inclusive 1-D scan (sum/max/min) of a 4-byte array."""
+    if vals.shape[0] == 0:
+        return vals
+    return _run_val(kind, vals, interpret=interpret)
+
+
+def scan_pallas_pair(kind: str, flags, vals, *, interpret: bool = False):
+    """Inclusive segmented scan ("sum"/"max"/"min", `flags` = segment
+    heads) or flagged carry-forward fill ("carry"). Returns values only
+    (the scanned flag word is an implementation detail)."""
+    if vals.shape[0] == 0:
+        return vals
+    return _run_pair(kind, flags, vals, interpret=interpret)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..core.column import Column
 from ..core.errors import GDFError, GDFStatus
+from . import engine
 
 
 def prefixsum(col: Column, inclusive: bool = True) -> Column:
@@ -24,7 +25,7 @@ def prefixsum(col: Column, inclusive: bool = True) -> Column:
         raise GDFError(GDFStatus.GDF_VALIDITY_UNSUPPORTED,
                        "prefixsum does not support validity masks")
     x = col.data
-    s = jnp.cumsum(x, dtype=x.dtype)
+    s = engine.cumsum(x, x.dtype)
     if not inclusive:
         s = jnp.concatenate([jnp.zeros((1,), x.dtype), s[:-1]])
     return col.with_data(s)

@@ -224,12 +224,12 @@ def order_by(table: Table, key_names: Sequence[str],
     with op_metrics("LIBGDF_ORDERBY", rows_in=n,
                     bytes_est=2 * table_bytes(table)) as _m:
         _m["rows_out"] = n
-    fields = key_fields(table, key_names, ascending, nulls_last)
-    iota_bits = max(1, (max(n - 1, 1)).bit_length())
-    words = pack_bit_fields(fields, iota_bits=iota_bits, n=n)
-    out = multi_sort(tuple(words), num_keys=len(words), stable=False)
-    mask = jnp.uint64((1 << iota_bits) - 1)
-    return (out[-1] & mask).astype(jnp.int32)
+        fields = key_fields(table, key_names, ascending, nulls_last)
+        iota_bits = max(1, (max(n - 1, 1)).bit_length())
+        words = pack_bit_fields(fields, iota_bits=iota_bits, n=n)
+        out = multi_sort(tuple(words), num_keys=len(words), stable=False)
+        mask = jnp.uint64((1 << iota_bits) - 1)
+        return (out[-1] & mask).astype(jnp.int32)
 
 
 def sort_table(table: Table, key_names: Sequence[str] | None = None,

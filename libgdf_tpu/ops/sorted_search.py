@@ -28,6 +28,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import engine
+
 
 def merge_match_ranges(build_keys, query_keys):
     """(build_perm int32[n], lower int32[m], upper int32[m]).
@@ -56,7 +58,7 @@ def merge_match_ranges(build_keys, query_keys):
     s_back = res[-1]
 
     is_build = 1 - s_isq
-    nbuild_before = jnp.cumsum(is_build) - is_build  # exclusive
+    nbuild_before = engine.cumsum(is_build) - is_build  # exclusive
 
     # upper bound for query rows = build elements strictly before them
     # (ties sort build-first, so equal build rows are counted). Scatter
@@ -74,7 +76,7 @@ def merge_match_ranges(build_keys, query_keys):
             jnp.concatenate([jnp.ones((1,), jnp.bool_),
                              k[1:] != k[:-1]]))
     run_lower = jnp.where(key_change, nbuild_before, -1)
-    run_lower = jax.lax.cummax(run_lower)
+    run_lower = engine.cummax(run_lower)
     lower = jnp.zeros((m,), jnp.int32).at[s_back].max(
         jnp.where(s_isq == 1, run_lower, 0))
 

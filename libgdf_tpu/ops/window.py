@@ -31,6 +31,7 @@ from ..core.errors import GDFStatus, require
 from ..core.table import Table
 from .hashing import hash_columns
 from .sort import radix_encode
+from . import engine
 
 WINDOW_REDUCTIONS = ("sum", "min", "max", "count", "avg", "stddev", "var")
 
@@ -44,7 +45,7 @@ def _segmented_running(vals, seg_start, op):
             (af, av), (bf, bv) = a, b
             return (af | bf, jnp.where(bf, bv, av + bv))
         zero = jnp.zeros_like(vals)
-        flags, out = jax.lax.associative_scan(
+        flags, out = engine._assoc_scan(
             combine, (seg_start, vals))
         return out
     if op in ("min", "max"):
@@ -53,7 +54,7 @@ def _segmented_running(vals, seg_start, op):
         def combine(a, b):
             (af, av), (bf, bv) = a, b
             return (af | bf, jnp.where(bf, bv, fn(av, bv)))
-        flags, out = jax.lax.associative_scan(combine, (seg_start, vals))
+        flags, out = engine._assoc_scan(combine, (seg_start, vals))
         return out
     raise ValueError(op)
 
@@ -73,9 +74,9 @@ def _windowed(vals, valid, seg_start, preceding: int, op: str):
     v = jnp.where(valid, vals.astype(jnp.float64), 0.0)
 
     if op in ("sum", "count", "avg", "var", "stddev"):
-        csum = jnp.cumsum(v)
-        csq = jnp.cumsum(v * v)
-        ccnt = jnp.cumsum(w)
+        csum = engine.cumsum(v)
+        csq = engine.cumsum(v * v)
+        ccnt = engine.cumsum(w)
 
         def rangesum(c):
             lo_excl = jnp.where(frame_lo > 0, jnp.take(c, frame_lo - 1,

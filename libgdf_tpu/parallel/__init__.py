@@ -10,7 +10,8 @@ from .shuffle import (
 )
 from .distributed import (
     ShardedTable, broadcast_join, collect, detect_skew, dist_groupby,
-    dist_join, dist_join_salted, distribute, exact_slot_capacity,
+    dist_join, dist_join_salted, distribute, exact_groupby_slot_capacity,
+    exact_slot_capacity,
     map_shards,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "global_partition_histogram", "required_slot_capacity",
     "shuffle_shard", "ShardedTable", "broadcast_join", "collect",
     "detect_skew", "dist_groupby", "dist_join", "dist_join_salted",
-    "distribute", "exact_slot_capacity", "map_shards",
+    "distribute", "exact_groupby_slot_capacity",
+    "exact_slot_capacity", "map_shards",
 ]

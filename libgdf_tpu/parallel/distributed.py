@@ -48,17 +48,42 @@ from .shuffle import (all_gather_table, global_partition_histogram,
 class ShardedTable:
     """A mesh-global table: `table` holds row-sharded columns with
     num_rows=None (the static slab); `counts` holds each shard's live row
-    count (int32[num_shards], sharded one-per-device)."""
+    count (int32[num_shards], sharded one-per-device).
+
+    `overflow` (optional int32[num_shards]) is the traced loss flag: >0 on
+    any shard means an under-sized exchange or output slab dropped rows
+    somewhere upstream INSIDE a jitted pipeline (where the eager capacity
+    checks cannot run). It is checked — and raises — at the eager exits:
+    collect() and total_rows()."""
 
     table: Table
     counts: jax.Array
+    overflow: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
         return self.table.capacity
 
     def total_rows(self):
+        self._raise_if_overflowed()
         return jnp.sum(self.counts)
+
+    def _raise_if_overflowed(self):
+        """Eager contexts only (no-op under trace): raise if any shard
+        recorded dropped rows."""
+        if self.overflow is None:
+            return
+        try:
+            ov = np.asarray(self.overflow)
+        except Exception:  # traced — collect()/host exits own the check
+            return
+        if ov.sum() > 0:
+            raise ValueError(
+                "distributed pipeline dropped rows: an exchange slot or "
+                "output capacity overflowed inside jit (shards "
+                f"{np.nonzero(ov)[0].tolist()}). Re-size with "
+                "exact_slot_capacity / exact_groupby_slot_capacity / a "
+                "larger out_capacity_per_shard and re-run")
 
 
 def distribute(table: Table, mesh: Mesh,
@@ -130,7 +155,9 @@ def distribute_global(table: Table, mesh: Mesh,
 
 
 def collect(st: ShardedTable) -> Table:
-    """Host-side: gather all shards into one compacted host Table."""
+    """Host-side: gather all shards into one compacted host Table.
+    Raises if the pipeline's traced overflow flag recorded dropped rows."""
+    st._raise_if_overflowed()
     counts = np.asarray(st.counts)
     nshards = counts.shape[0]
     per = st.capacity // nshards
@@ -152,15 +179,28 @@ def map_shards(mesh: Mesh, fn: Callable[..., Table], *sts: ShardedTable,
                axis_name: str = DEFAULT_AXIS) -> ShardedTable:
     """Run a shard-local Table→Table function over the mesh. `fn` receives
     each shard's local Table (with its live num_rows) and returns a local
-    Table (capacity must be uniform across shards — it is, by SPMD)."""
+    Table (capacity must be uniform across shards — it is, by SPMD).
+
+    `fn` may instead return (Table, overflow_scalar): the int/bool scalar
+    is accumulated into the output's traced `overflow` flag (shuffles
+    report dropped rows this way). Input tables' flags propagate either
+    way."""
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis_name),) * len(sts), out_specs=P(axis_name))
     def body(*locals_):
         tables = [st.table.with_num_rows(st.counts[0]) for st in locals_]
         out = fn(*tables)
+        ov = jnp.int32(0)
+        if isinstance(out, tuple):
+            out, fn_ov = out
+            ov = ov + jnp.asarray(fn_ov, jnp.int32)
+        for st in locals_:
+            if st.overflow is not None:
+                ov = ov + st.overflow[0]
         cnt = out.row_count()
         cnt = jnp.reshape(jnp.asarray(cnt, jnp.int32), (1,))
-        return ShardedTable(table=out.with_num_rows(None), counts=cnt)
+        return ShardedTable(table=out.with_num_rows(None), counts=cnt,
+                            overflow=jnp.reshape(ov, (1,)))
 
     return body(*sts)
 
@@ -267,6 +307,34 @@ def _check_slot_capacity(mesh, sides, slot_capacity, axis_name):
             f"use the salted path (dist_join_salted)")
 
 
+def exact_groupby_slot_capacity(mesh: Mesh, st: ShardedTable,
+                                key_names: Sequence[str], aggs,
+                                axis_name: str = DEFAULT_AXIS,
+                                num_batches: int = 1) -> int:
+    """Exact slot sizing for dist_groupby's pre-aggregated exchange,
+    computed eagerly from the ACTUAL input ShardedTable (e.g. a join
+    output — whose per-shard distinct-key count can exceed any bound
+    derived from upstream tables). The combiner runs in the pre-pass so
+    the count matches exactly what the shuffle will send."""
+    plan = _AggPlan(aggs)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name),),
+             out_specs=P())
+    def sized(stl):
+        t = stl.table.with_num_rows(stl.counts[0])
+        return required_slot_capacity(
+            _local_groupby(t, key_names, plan.partial), key_names,
+            axis_name)
+
+    try:
+        need = max(int(sized(st)), 1)
+    except jax.errors.ConcretizationTypeError:
+        raise ValueError(
+            "exact groupby slot sizing needs concrete counts — call it "
+            "eagerly (outside jit) on the real input table") from None
+    return -(-need // num_batches) * num_batches
+
+
 def dist_groupby(mesh: Mesh, st: ShardedTable, key_names: Sequence[str],
                  aggs, slot_capacity: int | None = None,
                  axis_name: str = DEFAULT_AXIS,
@@ -320,17 +388,18 @@ def dist_groupby(mesh: Mesh, st: ShardedTable, key_names: Sequence[str],
         else:
             _check_slot_capacity(mesh, sides, slot_capacity, axis_name)
 
-    def body(t: Table) -> Table:
+    def body(t: Table):
         if pre_aggregate:
             t = pre(t)
-        t = shuffle_shard(t, key_names, axis_name, slot_capacity,
-                          num_batches=num_batches)
+        t, ov = shuffle_shard(t, key_names, axis_name, slot_capacity,
+                              num_batches=num_batches,
+                              return_overflow=True)
         if pre_aggregate:
             out = _local_groupby(t, key_names, plan.merge)
         else:
             out = _local_groupby(t, key_names, plan.partial)
             out = _rename_to_merge(out, plan)
-        return plan.finalize(out)
+        return plan.finalize(out), ov
 
     return map_shards(mesh, body, st, axis_name=axis_name)
 
@@ -374,17 +443,28 @@ def dist_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     if out_capacity_per_shard is None:
         out_capacity_per_shard = 2 * (lps + rps)
 
-    def body(lt: Table, rt: Table) -> Table:
-        lt = shuffle_shard(lt, left_on, axis_name, slot_capacity,
-                           num_batches=num_batches)
-        rt = shuffle_shard(rt, right_on, axis_name, slot_capacity,
-                           num_batches=num_batches)
+    def body(lt: Table, rt: Table):
+        lt, ov_l = shuffle_shard(lt, left_on, axis_name, slot_capacity,
+                                 num_batches=num_batches,
+                                 return_overflow=True)
+        rt, ov_r = shuffle_shard(rt, right_on, axis_name, slot_capacity,
+                                 num_batches=num_batches,
+                                 return_overflow=True)
         return _local_join(lt, rt, left_on, right_on, how=how,
-                             out_capacity=out_capacity_per_shard)
+                           out_capacity=out_capacity_per_shard), ov_l + ov_r
 
     out = map_shards(mesh, body, left, right, axis_name=axis_name)
+    out = _flag_count_overflow(out, out_capacity_per_shard)
     _check_join_counts(out, out_capacity_per_shard)
     return out
+
+
+def _flag_count_overflow(out: ShardedTable, cap: int) -> ShardedTable:
+    """Fold `count > capacity` (exact, per shard) into the traced overflow
+    flag so a fully-jitted pipeline still fails loudly at collect()."""
+    over = (out.counts > cap).astype(jnp.int32)
+    ov = over if out.overflow is None else out.overflow + over
+    return ShardedTable(table=out.table, counts=out.counts, overflow=ov)
 
 
 def _check_join_counts(out: ShardedTable, cap: int):
@@ -424,13 +504,21 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     lps = left.capacity // nshards
     rps = right.capacity // nshards
 
-    hist, hot = detect_skew(mesh, right, right_on, axis_name=axis_name,
-                            num_bins=num_bins, threshold=threshold)
-    # also salt by LEFT-side heat: a key hot on the probe side floods one
-    # shard even when the build side is uniform.
-    hist_l, hot_l = detect_skew(mesh, left, left_on, axis_name=axis_name,
+    try:
+        hist, hot = detect_skew(mesh, right, right_on, axis_name=axis_name,
                                 num_bins=num_bins, threshold=threshold)
-    hot = np.logical_or(hot, hot_l)
+        # also salt by LEFT-side heat: a key hot on the probe side floods
+        # one shard even when the build side is uniform.
+        hist_l, hot_l = detect_skew(mesh, left, left_on,
+                                    axis_name=axis_name,
+                                    num_bins=num_bins, threshold=threshold)
+        hot = np.logical_or(hot, hot_l)
+    except jax.errors.ConcretizationTypeError:
+        raise ValueError(
+            "dist_join_salted plans eagerly (skew detection + exact slot "
+            "sizing need concrete counts) — call it outside jit, or "
+            "compute capacities eagerly first and use dist_join with "
+            "explicit slot_capacity/out_capacity_per_shard") from None
     hotj = jnp.asarray(hot)
 
     def l_salt(t: Table) -> jax.Array:
@@ -467,7 +555,14 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
             jnp.sum(is_hot, dtype=jnp.int32), axis_name)
         return need, hot_cnt
 
-    need, hot_max = (int(x) for x in sizing(left, right))
+    try:
+        need, hot_max = (int(x) for x in sizing(left, right))
+    except jax.errors.ConcretizationTypeError:
+        raise ValueError(
+            "dist_join_salted plans eagerly (exact slot sizing needs "
+            "concrete counts) — call it outside jit, or compute "
+            "capacities eagerly first and use dist_join with explicit "
+            "slot_capacity/out_capacity_per_shard") from None
     if slot_capacity is None:
         slot_capacity = max(need, 1)
     else:
@@ -487,10 +582,10 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
 
     from ..ops.compaction import compact_table
 
-    def body(lt: Table, rt: Table) -> Table:
+    def body(lt: Table, rt: Table):
         # LEFT: salted shuffle (hot rows spread, cold rows co-located)
-        lt = shuffle_shard(lt, left_on, axis_name, slot_capacity,
-                           salt=l_salt(lt))
+        lt, ov_l = shuffle_shard(lt, left_on, axis_name, slot_capacity,
+                                 salt=l_salt(lt), return_overflow=True)
         # RIGHT: split hot/cold
         bins = _bins_of(rt, right_on, num_bins)
         is_hot = jnp.logical_and(jnp.take(hotj, bins), rt.live_mask())
@@ -501,13 +596,15 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
         hot_t = _slice_rows(hot_t, hot_capacity_per_shard)
         hot_t = hot_t.with_num_rows(jnp.minimum(
             n_hot, hot_capacity_per_shard))
-        cold_sh = shuffle_shard(cold_t, right_on, axis_name, slot_capacity)
+        cold_sh, ov_r = shuffle_shard(cold_t, right_on, axis_name,
+                                      slot_capacity, return_overflow=True)
         hot_rep = all_gather_table(hot_t, axis_name)
         rt_local = _concat_live(cold_sh, hot_rep)
         return _local_join(lt, rt_local, left_on, right_on, how=how,
-                           out_capacity=out_capacity_per_shard)
+                           out_capacity=out_capacity_per_shard), ov_l + ov_r
 
     out = map_shards(mesh, body, left, right, axis_name=axis_name)
+    out = _flag_count_overflow(out, out_capacity_per_shard)
     _check_join_counts(out, out_capacity_per_shard)
     return out
 
@@ -564,7 +661,10 @@ def broadcast_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
         return _local_join(lt, rt_full, left_on, right_on, how=how,
                              out_capacity=out_capacity_per_shard)
 
-    return map_shards(mesh, body, left, right, axis_name=axis_name)
+    out = map_shards(mesh, body, left, right, axis_name=axis_name)
+    out = _flag_count_overflow(out, out_capacity_per_shard)
+    _check_join_counts(out, out_capacity_per_shard)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -64,7 +64,7 @@ def required_slot_capacity(table: Table, key_names: Sequence[str],
 
 def shuffle_shard(table: Table, key_names: Sequence[str], axis_name: str,
                   slot_capacity: int, salt: jax.Array | None = None,
-                  num_batches: int = 1) -> Table:
+                  num_batches: int = 1, return_overflow: bool = False):
     """Shard-local body of a distributed shuffle (call inside shard_map).
 
     After this returns, every row of the global table whose key hashes to
@@ -83,7 +83,10 @@ def shuffle_shard(table: Table, key_names: Sequence[str], axis_name: str,
     Loss-proofness: rows beyond `slot_capacity` for a destination would be
     silently dropped — callers must size via required_slot_capacity()
     (parallel/distributed.py does this by default) or check
-    dest_sizes().max() <= slot_capacity themselves."""
+    dest_sizes().max() <= slot_capacity themselves. With
+    return_overflow=True the return is (Table, overflow_scalar) where the
+    int32 scalar counts this shard's over-capacity destinations — the
+    traced loss signal ShardedTable carries to collect()."""
     P = _axis_size(axis_name)
     n = table.capacity
     require(slot_capacity * P >= 1, GDFStatus.GDF_INVALID_API_CALL)
@@ -156,6 +159,8 @@ def shuffle_shard(table: Table, key_names: Sequence[str], axis_name: str,
     out = Table(columns=tuple(cols), names=table.names)
     perm2, count = compaction_indices(recv_live)
     out = out.gather(perm2, num_rows=count)
+    if return_overflow:
+        return out, jnp.sum(sizes > S, dtype=jnp.int32)
     return out
 
 
