@@ -36,8 +36,8 @@ T0 = time.perf_counter()
 # geomean signal instead of poisoning it to 1.0 rows/s.
 CONFIGS = {
     "filter_1M": (9, 1_000_000, None),
-    "join_10Mx1M": (16, 10_000_000, 2_000_000),
     "orderby_50M": (24, 50_000_000, 10_000_000),
+    "join_10Mx1M": (16, 10_000_000, 2_000_000),
     "groupby_10M": (24, 10_000_000, 2_000_000),
 }
 

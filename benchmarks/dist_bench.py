@@ -19,6 +19,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def bench_at(n_dev: int, rows_per_shard: int, num_batches: int = 2):
     import jax
