@@ -24,7 +24,10 @@ import numpy as np
 
 HBM_GBPS = 819e9  # TPU v5e
 ROOT = os.path.dirname(os.path.abspath(__file__))
-CONFIG_TIMEOUT_S = int(os.environ.get("BENCH_CONFIG_TIMEOUT_S", "420"))
+# 560 s: the heaviest config (groupby_10M) measured a 384 s fully-cold
+# compile; the old 420 s cap left no lottery margin. The TOTAL budget
+# still bounds the whole run.
+CONFIG_TIMEOUT_S = int(os.environ.get("BENCH_CONFIG_TIMEOUT_S", "560"))
 TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
 T0 = time.perf_counter()
 
@@ -74,7 +77,8 @@ def _time(fn, *args):
         _fetch_scalar(out)
         return time.perf_counter() - t0
 
-    run(1)  # compile + warm
+    compile_s = run(1)  # compile + warm (axon compiles lazily here)
+    _time.last_compile_s = compile_s
     k = 4
     while True:
         t_k = min(run(k), run(k))
@@ -171,7 +175,9 @@ def run_config(name, rows=None):
     else:
         raise SystemExit(f"unknown config {name}")
 
-    print(json.dumps({"rows": n, "secs": dt, "rows_per_s": n / dt}))
+    print(json.dumps({"rows": n, "secs": dt, "rows_per_s": n / dt,
+                      "compile_s": round(getattr(_time, "last_compile_s",
+                                                 -1.0), 1)}))
 
 
 def _wait_for_drain(max_wait_s=300):

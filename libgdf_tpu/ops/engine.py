@@ -37,29 +37,29 @@ import jax.numpy as jnp
 _USE_PALLAS = None
 _INTERPRET = False  # run Pallas kernels in interpreter mode (debugging)
 _PALLAS_COMPACT_MAX_ROWS = None  # None = ops.compaction default
-_COMPACT_BACKEND = "v2"  # "v2" (offset-prefetched) | "v1" (size-guarded)
+_COMPACT_BACKEND = "auto"  # "auto" | "v2" | "v1"
 
 
 def configure(use_pallas: bool | None = None,
               interpret: bool = False,
               pallas_compact_max_rows: int | None = None,
-              compact_backend: str = "v2") -> None:
+              compact_backend: str = "auto") -> None:
     """Select the compute backend for data-movement primitives.
 
     use_pallas=None (default) picks Pallas kernels on TPU and the XLA
     lax.sort fallbacks on CPU; True/False forces. interpret=True runs the
     Pallas kernels in interpreter mode (any backend; slow — testing only).
-    compact_backend picks the Pallas compaction kernel: "v2" (default,
-    pallas/compact2.py — flat scaling) or "v1" (pallas/compact.py —
-    super-linear past ~2M rows, kept for comparison), where "v1" falls
-    back to the fused payload sort above pallas_compact_max_rows (None =
-    the measured default in ops/compaction.py)."""
+    compact_backend picks the Pallas compaction kernel: "auto" (default:
+    v1 routing kernel up to pallas_compact_max_rows — faster in its
+    sweet spot — v2 offset-prefetched kernel above), or force "v2" /
+    "v1" (where v1 falls back to the fused payload sort past the size
+    cap; None = the measured default in ops/compaction.py)."""
     global _USE_PALLAS, _INTERPRET, _PALLAS_COMPACT_MAX_ROWS
     global _COMPACT_BACKEND
     _USE_PALLAS = use_pallas
     _INTERPRET = interpret
     _PALLAS_COMPACT_MAX_ROWS = pallas_compact_max_rows
-    if compact_backend not in ("v1", "v2"):
+    if compact_backend not in ("auto", "v1", "v2"):
         raise ValueError(f"unknown compact_backend {compact_backend!r}")
     _COMPACT_BACKEND = compact_backend
 

@@ -149,7 +149,13 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
                  if acol.valid is not None else None)
         agg_slots[col_name] = (dslot, vslot)
 
-    res = multi_sort(tuple(operands), num_keys=nk)
+    # UNSTABLE sort: grouping only needs equal keys adjacent, and every
+    # supported aggregate (sum/min/max/count/avg) is order-insensitive
+    # modulo fp-sum rounding order — which the reference never fixed
+    # either (atomicAdd aggregation, groupby_kernels.cuh:42-108, is
+    # schedule-ordered). Unstable u64 sorts measure ~2.3x faster on v5e
+    # and the sort is ~100% of groupby's steady-state time.
+    res = multi_sort(tuple(operands), num_keys=nk, stable=False)
 
     s_words = list(res[:nk])
     offs, _ = bit_field_offsets([f[1] for f in fields])
