@@ -140,9 +140,12 @@ def cumsum(x: jax.Array, dtype=None) -> jax.Array:
     if dtype is not None:
         x = x.astype(dtype)
     if _pallas_scans():
-        from .pallas.scan import scan_pallas, scan_pallas_supported
+        from .pallas.scan import (cumsum64_pallas, scan_pallas,
+                                  scan_pallas_supported, sum64_supported)
         if scan_pallas_supported(x):
             return scan_pallas("sum", x, interpret=pallas_interpret())
+        if sum64_supported(x):
+            return cumsum64_pallas(x, interpret=pallas_interpret())
     return jnp.cumsum(x)
 
 
@@ -164,11 +167,16 @@ def cummin(x: jax.Array, reverse: bool = False) -> jax.Array:
 
 def _seg_scan(kind: str, vals, starts):
     """Segmented scan dispatch: Pallas pair kernel for 4-byte values on
-    TPU, associative_scan elsewhere / for 64-bit values."""
+    TPU (plus the exact hi/lo-pair kernel for 64-bit integer sums),
+    associative_scan elsewhere / for the remaining 64-bit cases."""
     if _pallas_scans():
-        from .pallas.scan import scan_pallas_pair, scan_pallas_supported
+        from .pallas.scan import (scan_pallas_pair, scan_pallas_supported,
+                                  seg_sum64_pallas, sum64_supported)
         if scan_pallas_supported(vals, starts):
             return scan_pallas_pair(kind, starts, vals,
+                                    interpret=pallas_interpret())
+        if kind == "sum" and sum64_supported(vals):
+            return seg_sum64_pallas(starts, vals,
                                     interpret=pallas_interpret())
     op = {"sum": lambda a, b: a + b, "max": jnp.maximum,
           "min": jnp.minimum}[kind]

@@ -160,6 +160,216 @@ def _pair_kernel(kind, ident, f_ref, v_ref, out_ref, cf_ref, cv_ref):
     cv_ref[...] = _bcast_last(v)
 
 
+# ---------------------------------------------------------------------------
+# 64-bit SUM scans: an int64/uint64 value is carried as a (hi, lo) uint32
+# pair; combine((ha,la),(hb,lb)) = (ha+hb+carry, la+lb) with
+# carry = (la+lb) < la — exactly 64-bit wrapping addition, which is
+# associative, so the same log-step structure applies. This keeps 64-bit
+# sum aggregations on the Mosaic path (XLA's scan lowering at multi-M
+# rows is the axon compile bomb; Mosaic has no 64-bit lanes, hence the
+# word split). min/max/f64 still fall back to XLA.
+# ---------------------------------------------------------------------------
+
+
+def _add64(ha, la, hb, lb):
+    l = la + lb
+    carry = (l < la).astype(ha.dtype)
+    return ha + hb + carry, l
+
+
+def _scan_axis_add64(h, low, axis):
+    size = h.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, h.shape, axis)
+    s = 1
+    while s < size:
+        hs = pltpu.roll(h, np.int32(s), axis)
+        ls = pltpu.roll(low, np.int32(s), axis)
+        nh, nl = _add64(hs, ls, h, low)
+        live = idx >= s
+        h = jnp.where(live, nh, h)
+        low = jnp.where(live, nl, low)
+        s <<= 1
+    return h, low
+
+
+def _scan_axis_seg64(f, h, low, axis):
+    size = f.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, axis)
+    s = 1
+    while s < size:
+        fs = pltpu.roll(f, np.int32(s), axis)
+        hs = pltpu.roll(h, np.int32(s), axis)
+        ls = pltpu.roll(low, np.int32(s), axis)
+        ah, al = _add64(hs, ls, h, low)
+        head = f != 0
+        nh = jnp.where(head, h, ah)
+        nl = jnp.where(head, low, al)
+        live = idx >= s
+        h = jnp.where(live, nh, h)
+        low = jnp.where(live, nl, low)
+        f = jnp.where(live, fs | f, f)
+        s <<= 1
+    return f, h, low
+
+
+def _sum64_kernel(h_ref, l_ref, oh_ref, ol_ref, ch_ref, cl_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        ch_ref[...] = jnp.zeros((1, LANES), ch_ref.dtype)
+        cl_ref[...] = jnp.zeros((1, LANES), cl_ref.dtype)
+
+    h = h_ref[...]
+    low = l_ref[...]
+    h, low = _scan_axis_add64(h, low, 1)
+    th, tl = _scan_axis_add64(h[:, LANES - 1:LANES],
+                              low[:, LANES - 1:LANES], 0)
+    eh = pltpu.roll(th, np.int32(1), 0)
+    el = pltpu.roll(tl, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    eh = jnp.where(rowi >= 1, eh, jnp.zeros((ROWS, 1), h.dtype))
+    el = jnp.where(rowi >= 1, el, jnp.zeros((ROWS, 1), low.dtype))
+    h, low = _add64(eh, el, h, low)
+    h, low = _add64(ch_ref[0:1, :], cl_ref[0:1, :], h, low)
+    oh_ref[...] = h
+    ol_ref[...] = low
+    ch_ref[...] = _bcast_last(h)
+    cl_ref[...] = _bcast_last(low)
+
+
+def _seg_sum64_kernel(f_ref, h_ref, l_ref, oh_ref, ol_ref,
+                      cf_ref, ch_ref, cl_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        cf_ref[...] = jnp.zeros((1, LANES), jnp.int32)
+        ch_ref[...] = jnp.zeros((1, LANES), ch_ref.dtype)
+        cl_ref[...] = jnp.zeros((1, LANES), cl_ref.dtype)
+
+    f = f_ref[...]
+    h = h_ref[...]
+    low = l_ref[...]
+    f, h, low = _scan_axis_seg64(f, h, low, 1)
+    lf, lh, ll = (f[:, LANES - 1:LANES], h[:, LANES - 1:LANES],
+                  low[:, LANES - 1:LANES])
+    lf, lh, ll = _scan_axis_seg64(lf, lh, ll, 0)
+    ef = pltpu.roll(lf, np.int32(1), 0)
+    eh = pltpu.roll(lh, np.int32(1), 0)
+    el = pltpu.roll(ll, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    ef = jnp.where(rowi >= 1, ef, jnp.zeros((ROWS, 1), jnp.int32))
+    eh = jnp.where(rowi >= 1, eh, jnp.zeros((ROWS, 1), h.dtype))
+    el = jnp.where(rowi >= 1, el, jnp.zeros((ROWS, 1), low.dtype))
+    head = f != 0
+    ah, al = _add64(eh, el, h, low)
+    h = jnp.where(head, h, ah)
+    low = jnp.where(head, low, al)
+    f = ef | f
+    head = f != 0
+    ah, al = _add64(ch_ref[0:1, :], cl_ref[0:1, :], h, low)
+    h = jnp.where(head, h, ah)
+    low = jnp.where(head, low, al)
+    f = cf_ref[0:1, :] | f
+    oh_ref[...] = h
+    ol_ref[...] = low
+    cf_ref[...] = _bcast_last(f)
+    ch_ref[...] = _bcast_last(h)
+    cl_ref[...] = _bcast_last(low)
+
+
+def _split64(x):
+    """int64/uint64 -> (hi uint32, lo uint32) via the TPU-safe arithmetic
+    bit pattern (64-bit bitcast does not compile on TPU)."""
+    from ...core.bits import to_unsigned_bits
+    u = to_unsigned_bits(x)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return hi, lo
+
+
+def _join64(hi, lo, dtype):
+    from ...core.bits import from_unsigned_bits
+    u = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    return from_unsigned_bits(u, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_sum64(x, *, interpret=False):
+    n = x.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    hi, lo = _split64(_pad_to(x, npad))
+    h2 = hi.reshape(nblocks * ROWS, LANES)
+    l2 = lo.reshape(nblocks * ROWS, LANES)
+    oh, ol = pl.pallas_call(
+        _sum64_kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec((ROWS, LANES),
+                                lambda b: (b, jnp.int32(0)),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                        jnp.uint32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.uint32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(h2, l2)
+    return _join64(oh.reshape(-1)[:n], ol.reshape(-1)[:n], x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_seg_sum64(flags, x, *, interpret=False):
+    n = x.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    f = _pad_to(flags.astype(jnp.int32), npad)
+    hi, lo = _split64(_pad_to(x, npad))
+    f2 = f.reshape(nblocks * ROWS, LANES)
+    h2 = hi.reshape(nblocks * ROWS, LANES)
+    l2 = lo.reshape(nblocks * ROWS, LANES)
+    oh, ol = pl.pallas_call(
+        _seg_sum64_kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec((ROWS, LANES),
+                                lambda b: (b, jnp.int32(0)),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                        jnp.uint32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
+                        pltpu.VMEM((1, LANES), jnp.uint32),
+                        pltpu.VMEM((1, LANES), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(f2, h2, l2)
+    return _join64(oh.reshape(-1)[:n], ol.reshape(-1)[:n], x.dtype)
+
+
+def sum64_supported(vals) -> bool:
+    return jnp.dtype(vals.dtype) in (jnp.dtype(jnp.int64),
+                                     jnp.dtype(jnp.uint64))
+
+
+def cumsum64_pallas(vals, *, interpret: bool = False):
+    """Exact inclusive 64-bit prefix sum (int64/uint64)."""
+    if vals.shape[0] == 0:
+        return vals
+    return _run_sum64(vals, interpret=interpret)
+
+
+def seg_sum64_pallas(flags, vals, *, interpret: bool = False):
+    """Exact segmented 64-bit sum scan (int64/uint64)."""
+    if vals.shape[0] == 0:
+        return vals
+    return _run_seg_sum64(flags, vals, interpret=interpret)
+
+
 def _supported_dtype(dt) -> bool:
     return jnp.dtype(dt) in (jnp.dtype(jnp.int32), jnp.dtype(jnp.uint32),
                              jnp.dtype(jnp.float32))

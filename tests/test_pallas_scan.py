@@ -67,6 +67,22 @@ def test_carry_forward(rng, n):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("n", [100, 2 * B + 101])
+def test_sum64_exact(rng, n):
+    # values whose prefix sums overflow 32 bits immediately and exercise
+    # the lo-word carry in both directions (negative int64 too)
+    x = (rng.integers(-2**40, 2**40, n).astype(np.int64)
+         * np.int64(2**20))
+    got = np.asarray(ps.cumsum64_pallas(jnp.asarray(x), interpret=True))
+    np.testing.assert_array_equal(got, np.cumsum(x))
+    f = rng.random(n) < 0.05
+    gid = np.cumsum(f)
+    got = np.asarray(ps.seg_sum64_pallas(jnp.asarray(f), jnp.asarray(x),
+                                         interpret=True))
+    exp = pd.Series(x).groupby(gid).cumsum().values
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_engine_dispatch_matches_xla(rng):
     """engine scans give identical results via the XLA path and the
     Pallas path (interpret mode)."""
