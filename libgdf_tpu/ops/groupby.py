@@ -216,9 +216,25 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
             arrs.append(res[kv_slot])
         add_out(arrs, build_key)
 
+    # AVG-from-siblings CSE (≅ multi_pass_avg reusing its prior sum and
+    # count results, groupby.cuh:308-419): when sum and count of the same
+    # column are also requested, avg needs no scans of its own and — more
+    # importantly — no extra words through the compaction sort (a f64 avg
+    # costs 2 routed words; the divide runs post-compaction instead).
+    sums = {s[0]: (s[2] if len(s) > 2 else f"sum_{s[0]}")
+            for s in aggs if s[1] == "sum"}
+    counts = {s[0]: (s[2] if len(s) > 2 else f"count_{s[0]}")
+              for s in aggs if s[1] == "count"}
+    deferred_avg = {}  # output position -> (out_name, sum_name, cnt_name)
+
     for spec in aggs:
         col_name, op = spec[0], spec[1]
         out_name = spec[2] if len(spec) > 2 else f"{op}_{col_name}"
+        if op == "avg" and col_name in sums and col_name in counts:
+            deferred_avg[len(builders)] = (out_name, sums[col_name],
+                                           counts[col_name])
+            add_out([], None)
+            continue
         dslot, vslot = agg_slots[col_name]
         vals = res[dslot]
         avalid = None if vslot is None else res[vslot]
@@ -233,9 +249,20 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
         flat.extend(arrs)
     compacted, _ = compact_arrays(flat, keep)
     cols, i = [], 0
-    for cnt, build in zip(shapes, builders):
-        cols.append(build(compacted[i:i + cnt]))
+    for pos, (cnt, build) in enumerate(zip(shapes, builders)):
+        cols.append(None if build is None else build(compacted[i:i + cnt]))
         i += cnt
+    by_name = {c.name: c for c in cols if c is not None}
+    for pos, (out_name, s_name, c_name) in deferred_avg.items():
+        scol, ccol = by_name[s_name], by_name[c_name]
+        data = (scol.data.astype(jnp.float64)
+                / jnp.maximum(ccol.data, 1).astype(jnp.float64))
+        valid = jnp.logical_and(group_live, ccol.data > 0)
+        if scol.valid is not None:
+            valid = jnp.logical_and(valid, scol.valid)
+        cols[pos] = Column(data=data, valid=valid,
+                           info=DtypeInfo(GDFDtype.FLOAT64),
+                           name=out_name)
     return Table.from_columns(cols, num_rows=num_groups)
 
 
