@@ -108,6 +108,19 @@ def run_piece(name):
                                   assume_unique_build=True)
 
         args = (pk, pnull, bk)
+    elif name == "join_nohint":
+        nb, m = 1_000_000, 10_000_000
+        bk = jnp.asarray(rng.permutation(nb).astype(np.int32))
+        pk = jnp.asarray(rng.integers(0, nb, m).astype(np.int32))
+
+        @jax.jit
+        def fn(pk, bk):
+            left = Table.from_dict({"k": pk})
+            right = Table.from_dict({"k": bk})
+            return ops.inner_join(left, right, ["k"], ["k"],
+                                  out_capacity=m)
+
+        args = (pk, bk)
     elif name == "groupby_10M":
         m = 10_000_000
         k = jnp.asarray(rng.integers(0, 100_000, m).astype(np.int64))

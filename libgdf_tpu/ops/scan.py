@@ -6,7 +6,8 @@ cub::DeviceScan::{In,Ex}clusiveSum. Like the reference, no validity support
 reference's i8/i32/i64-only surface was a template-instantiation economy,
 not a semantic choice.
 
-XLA lowers jnp.cumsum to its native parallel scan on TPU.
+Lowers through engine.cumsum: a Pallas scan kernel on TPU (4-byte
+dtypes and exact 64-bit integer sums), XLA's native scan elsewhere.
 """
 from __future__ import annotations
 

@@ -37,25 +37,15 @@ WINDOW_REDUCTIONS = ("sum", "min", "max", "count", "avg", "stddev", "var")
 
 
 def _segmented_running(vals, seg_start, op):
-    """Running `op` over vals with reset at segment starts, via the
-    classic (carry, value) associative scan — one lax.associative_scan,
-    no per-segment loops."""
+    """Running `op` over vals with reset at segment starts — the engine's
+    segmented scans (Pallas kernels on TPU for 4-byte dtypes, the
+    (carry, value) associative scan elsewhere)."""
     if op == "sum":
-        def combine(a, b):
-            (af, av), (bf, bv) = a, b
-            return (af | bf, jnp.where(bf, bv, av + bv))
-        zero = jnp.zeros_like(vals)
-        flags, out = engine._assoc_scan(
-            combine, (seg_start, vals))
-        return out
-    if op in ("min", "max"):
-        fn = jnp.minimum if op == "min" else jnp.maximum
-
-        def combine(a, b):
-            (af, av), (bf, bv) = a, b
-            return (af | bf, jnp.where(bf, bv, fn(av, bv)))
-        flags, out = engine._assoc_scan(combine, (seg_start, vals))
-        return out
+        return engine.seg_scan_sum(vals, seg_start)
+    if op == "min":
+        return engine.seg_scan_min(vals, seg_start)
+    if op == "max":
+        return engine.seg_scan_max(vals, seg_start)
     raise ValueError(op)
 
 

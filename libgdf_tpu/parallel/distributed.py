@@ -185,6 +185,7 @@ def map_shards(mesh: Mesh, fn: Callable[..., Table], *sts: ShardedTable,
     is accumulated into the output's traced `overflow` flag (shuffles
     report dropped rows this way). Input tables' flags propagate either
     way."""
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis_name),) * len(sts), out_specs=P(axis_name))
     def body(*locals_):
@@ -269,6 +270,7 @@ def exact_slot_capacity(mesh: Mesh, sides, axis_name: str = DEFAULT_AXIS,
     sides = [s if len(s) == 3 else (s[0], s[1], None) for s in sides]
     sts = [s[0] for s in sides]
 
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis_name),) * len(sts), out_specs=P())
     def run(*locals_):
@@ -318,6 +320,7 @@ def exact_groupby_slot_capacity(mesh: Mesh, st: ShardedTable,
     the count matches exactly what the shuffle will send."""
     plan = _AggPlan(aggs)
 
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name),),
              out_specs=P())
     def sized(stl):
@@ -359,6 +362,7 @@ def dist_groupby(mesh: Mesh, st: ShardedTable, key_names: Sequence[str],
     sides = [(st, key_names, None)]
     if pre_aggregate:
         # size by post-combine counts: run the combiner in the pre-pass
+        @jax.jit
         @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name),),
                  out_specs=P())
         def sized(stl):
@@ -533,6 +537,7 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     # plus the global max per-shard hot-row count (the replication bound).
     from .shuffle import dest_sizes
 
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis_name), P(axis_name)), out_specs=(P(), P()))
     def sizing(lst, rst):
@@ -680,6 +685,7 @@ def detect_skew(mesh: Mesh, st: ShardedTable, key_names,
     (hashing.cu:499-503)."""
     nbins = num_bins or int(mesh.devices.size)
 
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
              out_specs=P())
     def run(stl: ShardedTable):
