@@ -85,6 +85,14 @@ def _time(fn, *args):
         t_2k = min(run(2 * k), run(2 * k))
         window = t_2k - t_k
         if window > 0.08:
+            # Tunnel dispatch noise dominates sub-ms ops (observed 4x
+            # spread between runs): re-sample the marginal window and
+            # keep the MINIMUM — the dispatch pipeline only adds time,
+            # never removes it.
+            for _ in range(2):
+                w2 = min(run(2 * k), run(2 * k)) - min(run(k), run(k))
+                if 0 < w2 < window:
+                    window = w2
             return window / k
         if k >= 512 or t_2k > 20.0:
             # Marginal window never resolved above the noise floor (or
