@@ -171,13 +171,27 @@ def _seg_scan(kind: str, vals, starts):
     associative_scan elsewhere / for the remaining 64-bit cases."""
     if _pallas_scans():
         from .pallas.scan import (scan_pallas_pair, scan_pallas_supported,
-                                  seg_sum64_pallas, sum64_supported)
+                                  seg_sel64_pallas, seg_sum64_pallas,
+                                  sum64_supported)
         if scan_pallas_supported(vals, starts):
             return scan_pallas_pair(kind, starts, vals,
                                     interpret=pallas_interpret())
         if kind == "sum" and sum64_supported(vals):
             return seg_sum64_pallas(starts, vals,
                                     interpret=pallas_interpret())
+        if kind in ("min", "max") and jnp.dtype(vals.dtype) in (
+                jnp.dtype(jnp.int64), jnp.dtype(jnp.uint64),
+                jnp.dtype(jnp.float64)):
+            # order-preserving u64 encoding -> lexicographic (hi, lo)
+            # pair select -> decode. NOTE: f64 NaNs follow the same
+            # TOTAL ORDER as sorts (NaN greatest) rather than
+            # jnp.minimum's NaN propagation — consistent with order_by.
+            from .sort import radix_decode, radix_encode
+            enc = radix_encode(vals, ascending=True)
+            out = seg_sel64_pallas("min64" if kind == "min" else "max64",
+                                   starts, enc,
+                                   interpret=pallas_interpret())
+            return radix_decode(out, vals.dtype)
     op = {"sum": lambda a, b: a + b, "max": jnp.maximum,
           "min": jnp.minimum}[kind]
 

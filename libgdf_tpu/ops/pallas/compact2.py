@@ -60,17 +60,18 @@ def _flat_rot_right_dyn(x, r):
     return jnp.where(lane >= rl, z1, z2)
 
 
-def _kernel(nops, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
+def _kernel(nops, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
+    block = rows * LANES
     in_refs = refs[:nops]
     out_refs = refs[nops:2 * nops]
-    acc = refs[2 * nops:3 * nops]       # VMEM (2*ROWS, LANES) per word
+    acc = refs[2 * nops:3 * nops]       # VMEM (2*rows, LANES) per word
 
     b = pl.program_id(0)
 
     @pl.when(b == 0)
     def _():
         for w in range(nops):
-            acc[w][...] = jnp.zeros((2 * ROWS, LANES), jnp.int32)
+            acc[w][...] = jnp.zeros((2 * rows, LANES), jnp.int32)
 
     # --- within-block monotone routing: survivors to the block front ---
     keep = keep_ref[...]
@@ -81,23 +82,23 @@ def _kernel(nops, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
     dist = lane_cs - dropped + row_off
     d = jnp.where(keep != 0, dist + 1, _i32(0))
     vals = [in_refs[w][...] for w in range(nops)]
-    for stage in range(_ceil_log2(BLOCK)):
+    for stage in range(_ceil_log2(block)):
         s = 1 << stage
-        sd = _flat_shift(d, s, ROWS, zero_fill=True)
+        sd = _flat_shift(d, s, rows, zero_fill=True)
         moved_in = jnp.logical_and(sd > 0, ((sd - 1) & s) != 0)
         moved_out = jnp.logical_and(d > 0, ((d - 1) & s) != 0)
         d = jnp.where(moved_in, sd - s, jnp.where(moved_out, _i32(0), d))
-        vals = [jnp.where(moved_in, _flat_shift(v, s, ROWS, False), v)
+        vals = [jnp.where(moved_in, _flat_shift(v, s, rows, False), v)
                 for v in vals]
 
     # --- merge into the 2-block accumulator at [r, r+cnt) ---
     r = r_ref[b]
     cnt = cnt_ref[b]
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * ROWS, LANES), 0)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * ROWS, LANES), 1)
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, LANES), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (2 * rows, LANES), 1)
     pos = row2 * LANES + lane2
     in_range = jnp.logical_and(pos >= r, pos < r + cnt)
-    zpad = jnp.zeros((ROWS, LANES), jnp.int32)
+    zpad = jnp.zeros((rows, LANES), jnp.int32)
     for w in range(nops):
         ext = jnp.concatenate([vals[w], zpad])
         rot = _flat_rot_right_dyn(ext, r)
@@ -105,39 +106,48 @@ def _kernel(nops, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
 
     # --- stage the current output block; flushed when q advances ---
     for w in range(nops):
-        out_refs[w][...] = acc[w][0:ROWS]
+        out_refs[w][...] = acc[w][0:rows]
 
     # --- crossing into the next output block: shift the accumulator ---
     @pl.when(qn_ref[b] != q_ref[b])
     def _():
         for w in range(nops):
-            a = pltpu.roll(acc[w][...], np.int32(ROWS), 0)
-            acc[w][...] = jnp.where(row2 < ROWS, a, _i32(0))
+            a = pltpu.roll(acc[w][...], np.int32(rows), 0)
+            acc[w][...] = jnp.where(row2 < rows, a, _i32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _run(keep_i32, words, *, interpret=False):
     n = keep_i32.shape[0]
-    npad = -(-n // BLOCK) * BLOCK
-    nblocks = npad // BLOCK
-    keep2 = _pad_to(keep_i32, npad).reshape(nblocks * ROWS, LANES)
-    words2 = [_pad_to(w, npad).reshape(nblocks * ROWS, LANES)
+    nops = len(words)
+    # VMEM budget: each routed word needs ~3x a (2*rows, LANES) i32
+    # buffer (accumulator + double-buffered in/out); shrink the block
+    # when many words ride one compaction (8 words at rows=512 blew the
+    # 16 MB scoped-vmem limit). nops*rows <= 2048 keeps the proven
+    # rows=512 geometry for <=4 words.
+    rows = ROWS
+    while nops * rows > 2048 and rows > 64:
+        rows //= 2
+    block = rows * LANES
+    npad = -(-n // block) * block
+    nblocks = npad // block
+    keep2 = _pad_to(keep_i32, npad).reshape(nblocks * rows, LANES)
+    words2 = [_pad_to(w, npad).reshape(nblocks * rows, LANES)
               for w in words]
-    nops = len(words2)
 
     # offsets pre-pass (XLA): per-block survivor counts + exclusive scan
-    counts = jnp.sum(keep2.reshape(nblocks, ROWS * LANES), axis=1,
+    counts = jnp.sum(keep2.reshape(nblocks, block), axis=1,
                      dtype=jnp.int32)
     off = jnp.cumsum(counts, dtype=jnp.int32) - counts
     total = off[-1] + counts[-1]
-    q = off // BLOCK                    # output block being accumulated
-    r = off - q * BLOCK                 # offset within it
+    q = off // block                    # output block being accumulated
+    r = off - q * block                 # offset within it
     # One EXTRA grid step flushes the final spill: when the last input
     # block crosses an output-block boundary, the spilled survivors sit
     # in the accumulator with no step left to stage them. The extra step
     # merges nothing (cnt=0) and stages block q_extra = the block holding
     # `total` (clamped; garbage territory when total lands on a boundary).
-    q_extra = jnp.minimum(total // BLOCK, nblocks - 1)
+    q_extra = jnp.minimum(total // block, nblocks - 1)
     q = jnp.concatenate([q, q_extra[None]])
     r = jnp.concatenate([r, jnp.zeros((1,), jnp.int32)])
     counts_k = jnp.concatenate([counts, jnp.zeros((1,), jnp.int32)])
@@ -147,18 +157,18 @@ def _run(keep_i32, words, *, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nblocks + 1,),
-        in_specs=[pl.BlockSpec((ROWS, LANES),
+        in_specs=[pl.BlockSpec((rows, LANES),
                                lambda b, *_: (jnp.minimum(b, last), jnp.int32(0)),
                                memory_space=pltpu.VMEM)] * (1 + nops),
-        out_specs=[pl.BlockSpec((ROWS, LANES),
+        out_specs=[pl.BlockSpec((rows, LANES),
                                 lambda b, q_ref, *_: (q_ref[b], jnp.int32(0)),
                                 memory_space=pltpu.VMEM)] * nops,
-        scratch_shapes=[pltpu.VMEM((2 * ROWS, LANES), jnp.int32)] * nops,
+        scratch_shapes=[pltpu.VMEM((2 * rows, LANES), jnp.int32)] * nops,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, nops),
+        functools.partial(_kernel, nops, rows),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES), jnp.int32)
+        out_shape=[jax.ShapeDtypeStruct((nblocks * rows, LANES), jnp.int32)
                    for _ in range(nops)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

@@ -279,6 +279,152 @@ def _seg_sum64_kernel(f_ref, h_ref, l_ref, oh_ref, ol_ref,
     cl_ref[...] = _bcast_last(low)
 
 
+# --- 64-bit MIN/MAX over order-preserving u64 encodings -------------------
+# The caller encodes (ops.sort.radix_encode: int64/f64 -> u64, order-
+# preserving), the kernel selects lexicographically on the (hi, lo) u32
+# pair — an associative combine — and the caller decodes. Identity:
+# (0xffffffff, 0xffffffff) for min, (0, 0) for max.
+
+
+def _sel64(kind, ha, la, hb, lb):
+    """Lexicographic (hi, lo) select: the smaller (min) / larger (max).
+    Boolean algebra only — a select BETWEEN bool vectors lowers to an
+    i8->i1 truncation Mosaic rejects."""
+    a_wins = jnp.logical_or(ha < hb,
+                            jnp.logical_and(ha == hb, la < lb))
+    if kind == "max64":
+        a_wins = jnp.logical_not(a_wins)
+    return (jnp.where(a_wins, ha, hb), jnp.where(a_wins, la, lb))
+
+
+def _scan_axis_sel64(kind, h, low, axis):
+    size = h.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, h.shape, axis)
+    s = 1
+    while s < size:
+        hs = pltpu.roll(h, np.int32(s), axis)
+        ls = pltpu.roll(low, np.int32(s), axis)
+        nh, nl = _sel64(kind, hs, ls, h, low)
+        live = idx >= s
+        h = jnp.where(live, nh, h)
+        low = jnp.where(live, nl, low)
+        s <<= 1
+    return h, low
+
+
+def _scan_axis_seg_sel64(kind, f, h, low, axis):
+    size = f.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, axis)
+    s = 1
+    while s < size:
+        fs = pltpu.roll(f, np.int32(s), axis)
+        hs = pltpu.roll(h, np.int32(s), axis)
+        ls = pltpu.roll(low, np.int32(s), axis)
+        ah, al = _sel64(kind, hs, ls, h, low)
+        head = f != 0
+        nh = jnp.where(head, h, ah)
+        nl = jnp.where(head, low, al)
+        live = idx >= s
+        h = jnp.where(live, nh, h)
+        low = jnp.where(live, nl, low)
+        f = jnp.where(live, fs | f, f)
+        s <<= 1
+    return f, h, low
+
+
+def _ident64(kind):
+    return (0xFFFFFFFF, 0xFFFFFFFF) if kind == "min64" else (0, 0)
+
+
+def _seg_sel64_kernel(kind, f_ref, h_ref, l_ref, oh_ref, ol_ref,
+                      cf_ref, ch_ref, cl_ref):
+    b = pl.program_id(0)
+    ih, il = _ident64(kind)
+
+    @pl.when(b == 0)
+    def _():
+        cf_ref[...] = jnp.zeros((1, LANES), jnp.int32)
+        ch_ref[...] = jnp.full((1, LANES), ih, ch_ref.dtype)
+        cl_ref[...] = jnp.full((1, LANES), il, cl_ref.dtype)
+
+    f = f_ref[...]
+    h = h_ref[...]
+    low = l_ref[...]
+    f, h, low = _scan_axis_seg_sel64(kind, f, h, low, 1)
+    lf, lh, ll = (f[:, LANES - 1:LANES], h[:, LANES - 1:LANES],
+                  low[:, LANES - 1:LANES])
+    lf, lh, ll = _scan_axis_seg_sel64(kind, lf, lh, ll, 0)
+    ef = pltpu.roll(lf, np.int32(1), 0)
+    eh = pltpu.roll(lh, np.int32(1), 0)
+    el = pltpu.roll(ll, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    ef = jnp.where(rowi >= 1, ef, jnp.zeros((ROWS, 1), jnp.int32))
+    eh = jnp.where(rowi >= 1, eh, jnp.full((ROWS, 1), ih, h.dtype))
+    el = jnp.where(rowi >= 1, el, jnp.full((ROWS, 1), il, low.dtype))
+    head = f != 0
+    ah, al = _sel64(kind, eh, el, h, low)
+    h = jnp.where(head, h, ah)
+    low = jnp.where(head, low, al)
+    f = ef | f
+    head = f != 0
+    ah, al = _sel64(kind, ch_ref[0:1, :], cl_ref[0:1, :], h, low)
+    h = jnp.where(head, h, ah)
+    low = jnp.where(head, low, al)
+    f = cf_ref[0:1, :] | f
+    oh_ref[...] = h
+    ol_ref[...] = low
+    cf_ref[...] = _bcast_last(f)
+    ch_ref[...] = _bcast_last(h)
+    cl_ref[...] = _bcast_last(low)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def _run_seg_sel64(kind, flags, enc, *, interpret=False):
+    n = enc.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    ih, il = _ident64(kind)
+    encp = enc
+    if npad != n:
+        pad_val = (jnp.uint64(ih) << jnp.uint64(32)) | jnp.uint64(il)
+        encp = jnp.concatenate([enc, jnp.full((npad - n,), pad_val,
+                                              jnp.uint64)])
+    f = _pad_to(flags.astype(jnp.int32), npad)
+    hi = (encp >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (encp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    f2 = f.reshape(nblocks * ROWS, LANES)
+    h2 = hi.reshape(nblocks * ROWS, LANES)
+    l2 = lo.reshape(nblocks * ROWS, LANES)
+    oh, ol = pl.pallas_call(
+        functools.partial(_seg_sel64_kernel, kind),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec((ROWS, LANES),
+                                lambda b: (b, jnp.int32(0)),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                        jnp.uint32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
+                        pltpu.VMEM((1, LANES), jnp.uint32),
+                        pltpu.VMEM((1, LANES), jnp.uint32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(f2, h2, l2)
+    oh = oh.reshape(-1)[:n].astype(jnp.uint64)
+    ol = ol.reshape(-1)[:n].astype(jnp.uint64)
+    return (oh << jnp.uint64(32)) | ol
+
+
+def seg_sel64_pallas(kind, flags, enc_u64, *, interpret: bool = False):
+    """Segmented min/max scan over order-preserving u64 encodings.
+    kind in {"min64", "max64"}; returns the scanned u64 encodings."""
+    if enc_u64.shape[0] == 0:
+        return enc_u64
+    return _run_seg_sel64(kind, flags, enc_u64, interpret=interpret)
+
+
 def _split64(x):
     """int64/uint64 -> (hi uint32, lo uint32) via the TPU-safe arithmetic
     bit pattern (64-bit bitcast does not compile on TPU)."""

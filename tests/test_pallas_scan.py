@@ -83,6 +83,28 @@ def test_sum64_exact(rng, n):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("dtype", [np.int64, np.float64])
+@pytest.mark.parametrize("kind", ["min", "max"])
+def test_sel64_seg_minmax(rng, dtype, kind):
+    from libgdf_tpu.ops import engine
+    n = 2 * B + 55
+    if dtype is np.int64:
+        x = rng.integers(-2**60, 2**60, n).astype(np.int64)
+    else:
+        x = (rng.standard_normal(n) * 1e12).astype(np.float64)
+    f = rng.random(n) < 0.04
+    gid = np.cumsum(f)
+    engine.configure(use_pallas=False, interpret=True)
+    try:
+        fn = engine.seg_scan_min if kind == "min" else engine.seg_scan_max
+        got = np.asarray(fn(jnp.asarray(x), jnp.asarray(f)))
+    finally:
+        engine.configure()
+    op = "cummin" if kind == "min" else "cummax"
+    exp = getattr(pd.Series(x).groupby(gid), op)().values
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_engine_dispatch_matches_xla(rng):
     """engine scans give identical results via the XLA path and the
     Pallas path (interpret mode)."""
