@@ -135,6 +135,28 @@ def _pallas_scans() -> bool:
     return use_pallas() or pallas_interpret()
 
 
+def _warn_xla_scan_fallback(what: str, n: int) -> None:
+    """XLA scan lowerings cost ~100 s+ of (lazy) server compile per
+    multi-million-row instance on the axon TPU backend (PERF.md). The
+    few remaining fallback dtypes (f64 sums, f16 etc.) warn once per
+    kind so a silently slow compile is at least attributable."""
+    if n < 1_000_000 or not use_pallas():
+        return
+    import warnings
+    key = ("scan-fallback", what)
+    if key in _WARNED:
+        return
+    _WARNED.add(key)
+    warnings.warn(
+        f"{what} over {n} rows is falling back to XLA's scan lowering "
+        "on TPU (no Pallas kernel for this dtype); expect a very slow "
+        "first compile (~100 s+ per scan at 10M rows). Consider a "
+        "4-byte or 64-bit-integer accumulator dtype.", stacklevel=3)
+
+
+_WARNED: set = set()
+
+
 def cumsum(x: jax.Array, dtype=None) -> jax.Array:
     """Inclusive prefix sum (see module scan note)."""
     if dtype is not None:
@@ -146,6 +168,7 @@ def cumsum(x: jax.Array, dtype=None) -> jax.Array:
             return scan_pallas("sum", x, interpret=pallas_interpret())
         if sum64_supported(x):
             return cumsum64_pallas(x, interpret=pallas_interpret())
+        _warn_xla_scan_fallback(f"cumsum[{x.dtype}]", x.shape[0])
     return jnp.cumsum(x)
 
 
@@ -192,6 +215,8 @@ def _seg_scan(kind: str, vals, starts):
                                    starts, enc,
                                    interpret=pallas_interpret())
             return radix_decode(out, vals.dtype)
+        _warn_xla_scan_fallback(f"seg_scan_{kind}[{vals.dtype}]",
+                                vals.shape[0])
     op = {"sum": lambda a, b: a + b, "max": jnp.maximum,
           "min": jnp.minimum}[kind]
 
