@@ -48,6 +48,15 @@ def run_piece(name):
         fn = jax.jit(lambda a: jax.lax.sort((a,), num_keys=1,
                                             is_stable=False)[0])
         args = (x,)
+    elif name == "sort_u32_2key":
+        # is 2 x u32 keys cheaper than one x64-emulated u64 operand?
+        hi = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.int64)
+                         ).astype(jnp.uint32)
+        lo = jnp.asarray(rng.integers(0, 1 << 31, N, dtype=np.int64)
+                         ).astype(jnp.uint32)
+        fn = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2,
+                                               is_stable=False)[0])
+        args = (hi, lo)
     elif name == "sort_stable_3op":
         k = jnp.asarray(rng.integers(0, 2, N, dtype=np.int64)
                         ).astype(jnp.uint8)
