@@ -121,10 +121,25 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
         enc_keys.append(radix_encode(data, ascending=True))
 
     enc_bits = [e.dtype.itemsize * 8 for e in enc_keys]
+    # Per-key null flags sort INSIDE the key words, immediately above each
+    # key's encoding (dropna=False only — with dropna=True null-key rows
+    # are dropped via the leading drop bit). A flag riding as sort PAYLOAD
+    # (the round-4 scheme) is unsound: a null row whose data equals a live
+    # key lands inside that key's run and splits the group — and with
+    # stable=False, nondeterministically. In-key flags make null rows sort
+    # strictly after the valid run of the same prefix, so the unstable
+    # sort is genuinely safe and each null row's own-group semantics
+    # (NULL != NULL, gdf_table.cuh:588-591) fall out of the run logic.
+    key_nullable = [(not dropna and c.valid is not None) for c in key_cols]
     fields = []
+    key_field_idx = []          # index into `fields` of key j's encoding
     if drop is not None:
         fields.append((drop.astype(jnp.uint8), 1))
-    fields.extend(zip(enc_keys, enc_bits))
+    for j, c in enumerate(key_cols):
+        if key_nullable[j]:
+            fields.append((jnp.logical_not(c.valid).astype(jnp.uint8), 1))
+        key_field_idx.append(len(fields))
+        fields.append((enc_keys[j], enc_bits[j]))
     words = pack_bit_fields(fields)
     operands = list(words)
     nk = len(operands)
@@ -133,11 +148,6 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
         operands.append(arr)
         return len(operands) - 1
 
-    key_valid_slots = {}
-    if not dropna:
-        for name, c in zip(key_names, key_cols):
-            if c.valid is not None:
-                key_valid_slots[name] = add_payload(c.valid)
     agg_slots = {}
     for spec in aggs:
         col_name = spec[0]
@@ -159,14 +169,17 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
 
     s_words = list(res[:nk])
     offs, _ = bit_field_offsets([f[1] for f in fields])
-    fi = 0
     if drop is not None:
         s_dropped = unpack_bit_field(s_words, offs[0], 1) != 0
-        fi = 1
     else:
         s_dropped = jnp.zeros((n,), jnp.bool_)
-    s_enc = [unpack_bit_field(s_words, offs[fi + j], enc_bits[j]).astype(
-        enc_keys[j].dtype) for j in range(len(enc_keys))]
+    s_enc = [unpack_bit_field(s_words, offs[key_field_idx[j]],
+                              enc_bits[j]).astype(enc_keys[j].dtype)
+             for j in range(len(enc_keys))]
+    # sorted-order per-key null flags, recovered from the key words
+    s_key_null = {j: unpack_bit_field(s_words, offs[key_field_idx[j] - 1],
+                                      1) != 0
+                  for j in range(len(key_cols)) if key_nullable[j]}
 
     # --- group boundaries (≅ reduce_by_key's equality predicate) ---
     first = jnp.zeros((n,), jnp.bool_).at[0].set(True)
@@ -175,11 +188,10 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
         new_group = jnp.logical_or(
             new_group,
             jnp.concatenate([first[:1], k[1:] != k[:-1]]))
-    if not dropna and key_valid_slots:
+    if s_key_null:
         s_null = jnp.zeros((n,), jnp.bool_)
-        for name in key_valid_slots:
-            s_null = jnp.logical_or(
-                s_null, jnp.logical_not(res[key_valid_slots[name]]))
+        for flag in s_key_null.values():
+            s_null = jnp.logical_or(s_null, flag)
         # a null-key row always starts (and ends) its own group
         new_group = jnp.logical_or(new_group, s_null)
         new_group = jnp.logical_or(
@@ -200,10 +212,10 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
         out_arrays.append(arr)
         builders.append(build)
 
-    for name, c, enc in zip(key_names, key_cols, s_enc):
-        kv_slot = key_valid_slots.get(name)
+    for j, (name, c, enc) in enumerate(zip(key_names, key_cols, s_enc)):
+        has_null_flag = j in s_key_null
 
-        def build_key(xs, c=c, kv=kv_slot is not None, name=name):
+        def build_key(xs, c=c, kv=has_null_flag, name=name):
             data = xs[0]
             if kv:
                 valid = jnp.logical_and(xs[1], group_live)
@@ -212,8 +224,8 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
             return Column(data=data, valid=valid, info=c.info, name=name)
 
         arrs = [radix_decode(enc, c.data.dtype)]
-        if kv_slot is not None:
-            arrs.append(res[kv_slot])
+        if has_null_flag:
+            arrs.append(jnp.logical_not(s_key_null[j]))
         add_out(arrs, build_key)
 
     # AVG-from-siblings CSE (≅ multi_pass_avg reusing its prior sum and

@@ -115,6 +115,43 @@ def test_groupby_keep_nulls_each_own_group(rng):
     assert s == [30, 30, 40]
 
 
+def test_groupby_null_key_inside_valid_run(rng):
+    """Regression (round-5 advisor finding): a null-key row whose DATA
+    equals a live key must not split that key's group. Round 4 carried
+    key-null flags as sort payload, so the unstable sort could interleave
+    the null row inside the equal-data run (k=5 with one interleaved null
+    yielded sums [1,2,7] instead of [8,2]). The flags now sort inside the
+    key words."""
+    keys = np.asarray([5, 5, 5, 5, 2], np.int64)
+    knull = np.asarray([False, False, True, False, False])
+    vals = np.asarray([1, 3, 7, 4, 2], np.int64)
+    t = Table.from_dict({"k": keys, "v": vals}, nulls={"k": knull})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s")], dropna=False).compact()
+    assert out.capacity == 3  # {2}, {5}, {null@2}
+    kv, kn = out["k"].to_numpy_masked()
+    s = np.asarray(out["s"].data)
+    # valid-key groups sort first (by key), null groups last
+    np.testing.assert_array_equal(kn, [False, False, True])
+    np.testing.assert_array_equal(kv[:2], [2, 5])
+    np.testing.assert_array_equal(s, [2, 8, 7])
+
+
+def test_groupby_null_key_multikey_runs(rng):
+    """Same regression, multi-key: nulls in the SECOND key column with
+    equal data must not fragment the (k1, k2) runs around them."""
+    k1 = np.asarray([1, 1, 1, 1, 1, 2], np.int64)
+    k2 = np.asarray([7, 7, 7, 7, 7, 7], np.int32)
+    k2null = np.asarray([False, True, False, True, False, False])
+    vals = np.asarray([1, 10, 2, 20, 4, 8], np.int64)
+    t = Table.from_dict({"k1": k1, "k2": k2, "v": vals},
+                        nulls={"k2": k2null})
+    out = ops.groupby(t, ["k1", "k2"], [("v", "sum", "s")],
+                      dropna=False).compact()
+    assert out.capacity == 4  # (1,7), (1,null), (1,null), (2,7)
+    s = sorted(np.asarray(out["s"].data).tolist())
+    assert s == [7, 8, 10, 20]
+
+
 def test_count_distinct(rng):
     keys = rng.integers(0, 23, 500).astype(np.int32)
     t = Table.from_dict({"k": keys})
