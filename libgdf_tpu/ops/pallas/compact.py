@@ -95,17 +95,59 @@ def _flat_shift(x, s, rows, zero_fill):
     return y
 
 
-def _kernel(n, nblocks, nops, keep_ref, *refs):
-    # refs layout: nops input refs, nops output refs (ANY/HBM), count_ref
+# Routing word layout: bits [0, FLAG_BASE) hold the element's routing
+# distance (= #dropped before it; 17 bits covers the largest augmented
+# block, (512+8)*128); bits [FLAG_BASE, 31) carry up to MAX_FLAGS bool
+# payload planes through the routing for free. Bit 31 stays clear so i32
+# compares behave.
+FLAG_BASE = 17
+MAX_FLAGS = 14
+_FLAGS_MASK = ((1 << MAX_FLAGS) - 1) << FLAG_BASE
+
+
+def _route_m(m, vals, rows, block):
+    """Monotone binary routing of survivors to the block front.
+
+    `m` packs dist | flags (see FLAG_BASE); m == 0 marks dead slots.
+    An element moves left by 2^b at stage b iff bit b of its DIST is
+    set — the bit decomposition of the total distance is static, so this
+    walks the exact same staged trajectory as the round-4 scheme
+    (d = remaining+1, decremented per move) with the per-stage distance
+    arithmetic deleted: moved tests are one AND + compare, the update is
+    two selects, and bool payloads ride m's high bits through every
+    stage at zero marginal cost (the dominant routed word in a null-
+    bearing filter was the validity plane). Conflict-freedom is the same
+    injectivity argument as before: stable compaction's destination map
+    is order-preserving, so no two live elements ever contend for a slot
+    at any stage.
+
+    Returns (routed m — flag planes at their routed positions, routed
+    vals)."""
+    for stage in range(_ceil_log2(block)):
+        s = 1 << stage
+        sm = _flat_shift(m, s, rows, zero_fill=True)
+        moved_in = (sm & np.int32(s)) != 0
+        moved_out = (m & np.int32(s)) != 0
+        m = jnp.where(moved_in, sm, jnp.where(moved_out, _i32(0), m))
+        vals = [jnp.where(moved_in, _flat_shift(v, s, rows, False), v)
+                for v in vals]
+    return m, vals
+
+
+def _kernel(n, nblocks, ndata, nflag, keep_ref, *refs):
+    # refs layout: ndata input refs, nops output refs (ANY/HBM), count_ref
     # (SMEM), then scratch: nops staging VMEM, nops carry VMEM, state SMEM,
-    # dma sems.
-    in_refs = refs[:nops]
-    out_refs = refs[nops:2 * nops]
-    count_ref = refs[2 * nops]
-    staging = refs[2 * nops + 1:3 * nops + 1]
-    carry = refs[3 * nops + 1:4 * nops + 1]
-    state = refs[4 * nops + 1]             # SMEM (2,): base_row, carry_len
-    sems = refs[4 * nops + 2]
+    # dma sems — where nops = ndata + nflag (flag planes ride the keep
+    # word's high bits through routing but get their own staging/carry/
+    # output slots at indices ndata..nops).
+    nops = ndata + nflag
+    in_refs = refs[:ndata]
+    out_refs = refs[ndata:ndata + nops]
+    count_ref = refs[ndata + nops]
+    staging = refs[ndata + nops + 1:ndata + 2 * nops + 1]
+    carry = refs[ndata + 2 * nops + 1:ndata + 3 * nops + 1]
+    state = refs[ndata + 3 * nops + 1]     # SMEM (2,): base_row, carry_len
+    sems = refs[ndata + 3 * nops + 2]
 
     b = pl.program_id(0)
 
@@ -124,11 +166,16 @@ def _kernel(n, nblocks, nops, keep_ref, *refs):
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows_aug, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (rows_aug, LANES), 0)
 
-    # augmented arrays: row 0 = carry, rows 1..ROWS = this block, tail dead
+    # augmented arrays: row 0 = carry, rows 1..ROWS = this block, tail
+    # dead. keep_ref is PACKED: bit 0 = keep, bits FLAG_BASE+ = flag
+    # planes; the carry row re-injects the flag carries into the word.
     keep_blk = keep_ref[:]
     flat_in = b * BLOCK + (row - 1) * LANES + lane
+    carry_row = (lane[0:1, :] < carry_len).astype(jnp.int32)
+    for k in range(nflag):
+        carry_row = carry_row | (carry[ndata + k][:] << _i32(FLAG_BASE + k))
     keep_aug = jnp.where(
-        row == 0, (lane < carry_len).astype(jnp.int32),
+        row == 0, carry_row,
         jnp.where(jnp.logical_and(row <= ROWS, flat_in < n),
                   jnp.concatenate(
                       [jnp.zeros((1, LANES), jnp.int32), keep_blk,
@@ -136,26 +183,19 @@ def _kernel(n, nblocks, nops, keep_ref, *refs):
 
     vals = []
     zpad = jnp.zeros((pad_rows, LANES), jnp.int32)
-    for w in range(nops):
+    for w in range(ndata):
         vals.append(jnp.concatenate([carry[w][:], in_refs[w][:], zpad]))
 
     # exclusive scan of drops over the row-major flat order
-    dropped = 1 - keep_aug
+    keep_bit = keep_aug & 1
+    dropped = 1 - keep_bit
     lane_cs = _cumsum(dropped, axis=1)
     row_tot = lane_cs[:, LANES - 1:LANES]
     row_off = _cumsum(row_tot, axis=0) - row_tot
     dist = lane_cs - dropped + row_off
-    # d = remaining distance + 1 for live elements, 0 for dead
-    d = jnp.where(keep_aug != 0, dist + 1, _i32(0))
-
-    for stage in range(_ceil_log2(rows_aug * LANES)):
-        s = 1 << stage
-        sd = _flat_shift(d, s, rows_aug, zero_fill=True)
-        moved_in = jnp.logical_and(sd > 0, ((sd - 1) & s) != 0)
-        moved_out = jnp.logical_and(d > 0, ((d - 1) & s) != 0)
-        d = jnp.where(moved_in, sd - s, jnp.where(moved_out, _i32(0), d))
-        vals = [jnp.where(moved_in, _flat_shift(v, s, rows_aug, False), v)
-                for v in vals]
+    m = jnp.where(keep_bit != 0, dist | (keep_aug & np.int32(_FLAGS_MASK)),
+                  _i32(0))
+    m, vals = _route_m(m, vals, rows_aug, rows_aug * LANES)
 
     # New running total from the drop-count scans (any jnp.sum/lax.reduce
     # to scalar widens through int64 under jax_enable_x64, which Mosaic
@@ -163,8 +203,10 @@ def _kernel(n, nblocks, nops, keep_ref, *refs):
     drops_total = row_off[rows_aug - 1, 0] + row_tot[rows_aug - 1, 0]
     new_total = _i32(rows_aug * LANES) - drops_total
 
-    for w in range(nops):
+    for w in range(ndata):
         staging[w][:] = vals[w]
+    for k in range(nflag):
+        staging[ndata + k][:] = (m >> _i32(FLAG_BASE + k)) & 1
     for w in range(nops):
         pltpu.make_async_copy(
             staging[w], out_refs[w].at[pl.ds(base_row, rows_aug)],
@@ -248,15 +290,50 @@ def compact_pallas_supported(arrays) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(keep_i32, words, *, interpret=False):
-    n = keep_i32.shape[0]
+def split_flag_words(words, descs, spans):
+    """Partition route words into (data word indices, flag word indices).
+
+    Flag words are the 1-bit planes (bool arrays): up to MAX_FLAGS of
+    them ride the packed keep word's high bits through the routing
+    (FLAG_BASE layout) at zero per-stage cost instead of being routed as
+    full i32 words. Returns (data_idx, flag_idx)."""
+    flag_idx = []
+    for (lo, hi), desc in zip(spans, descs):
+        if desc[0] == "bool" and len(flag_idx) < MAX_FLAGS:
+            flag_idx.append(lo)
+    flag_set = set(flag_idx)
+    data_idx = [i for i in range(len(words)) if i not in flag_set]
+    return data_idx, flag_idx
+
+
+def pack_keep_word(keep, words, flag_idx):
+    """keep bool + flag planes -> the packed routing word input."""
+    kw = keep.astype(jnp.int32)
+    for k, i in enumerate(flag_idx):
+        kw = kw | (words[i].astype(jnp.int32) << (FLAG_BASE + k))
+    return kw
+
+
+def reassemble_words(data_outs, flag_outs, data_idx, flag_idx, nwords):
+    """Inverse of the split: word outputs back in original order."""
+    out = [None] * nwords
+    for o, i in zip(data_outs, data_idx):
+        out[i] = o
+    for o, i in zip(flag_outs, flag_idx):
+        out[i] = o
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("nflag", "interpret"))
+def _run(keep_packed, data_words, nflag, *, interpret=False):
+    n = keep_packed.shape[0]
     npad = -(-n // BLOCK) * BLOCK
     nblocks = npad // BLOCK
-    keep2 = _pad_to(keep_i32, npad).reshape(nblocks * ROWS, LANES)
+    keep2 = _pad_to(keep_packed, npad).reshape(nblocks * ROWS, LANES)
     words2 = [_pad_to(w, npad).reshape(nblocks * ROWS, LANES)
-              for w in words]
-    nops = len(words2)
+              for w in data_words]
+    ndata = len(words2)
+    nops = ndata + nflag
     out_rows = nblocks * ROWS + ROWS + 16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -264,8 +341,8 @@ def _run(keep_i32, words, *, interpret=False):
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((ROWS, LANES),
                                lambda b: (b, jnp.int32(0)),
-                               memory_space=pltpu.VMEM)] * (1 + nops),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * nops +
+                               memory_space=pltpu.VMEM)] * (1 + ndata),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nops +
                   [pl.BlockSpec((1,), lambda b: (jnp.int32(0),),
                                 memory_space=pltpu.SMEM)],
         scratch_shapes=(
@@ -275,7 +352,7 @@ def _run(keep_i32, words, *, interpret=False):
              pltpu.SemaphoreType.DMA((nops,))]),
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, n, nblocks, nops),
+        functools.partial(_kernel, n, nblocks, ndata, nflag),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)
                    for _ in range(nops)] +
@@ -304,8 +381,13 @@ def compact_pallas(arrays, keep, *, interpret: bool = False):
         spans.append((len(words), len(words) + len(w)))
         descs.append(desc)
         words.extend(w)
-    word_outs, count = _run(keep.astype(jnp.int32), words,
-                            interpret=interpret)
+    data_idx, flag_idx = split_flag_words(words, descs, spans)
+    kw = pack_keep_word(keep, words, flag_idx)
+    outs_run, count = _run(kw, [words[i] for i in data_idx],
+                           len(flag_idx), interpret=interpret)
+    word_outs = reassemble_words(outs_run[:len(data_idx)],
+                                 outs_run[len(data_idx):],
+                                 data_idx, flag_idx, len(words))
     outs = [_from_words(word_outs[lo:hi], desc)
             for (lo, hi), desc in zip(spans, descs)]
     return outs, count

@@ -37,8 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .compact import (LANES, _ceil_log2, _cumsum, _flat_shift, _from_words,
-                      _i32, _pad_to, _to_words)
+from .compact import (FLAG_BASE, LANES, _ceil_log2, _cumsum, _flat_shift,
+                      _FLAGS_MASK, _from_words, _i32, _pad_to, _route_m,
+                      _to_words, pack_keep_word, reassemble_words,
+                      split_flag_words)
 
 ROWS = 512                     # rows per block
 BLOCK = ROWS * LANES           # elements per grid step
@@ -60,11 +62,13 @@ def _flat_rot_right_dyn(x, r):
     return jnp.where(lane >= rl, z1, z2)
 
 
-def _kernel(nops, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
+def _kernel(ndata, nflag, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref,
+            *refs):
     block = rows * LANES
-    in_refs = refs[:nops]
-    out_refs = refs[nops:2 * nops]
-    acc = refs[2 * nops:3 * nops]       # VMEM (2*rows, LANES) per word
+    nops = ndata + nflag
+    in_refs = refs[:ndata]
+    out_refs = refs[ndata:ndata + nops]
+    acc = refs[ndata + nops:ndata + 2 * nops]  # VMEM (2*rows, LANES)/word
 
     b = pl.program_id(0)
 
@@ -73,23 +77,21 @@ def _kernel(nops, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
         for w in range(nops):
             acc[w][...] = jnp.zeros((2 * rows, LANES), jnp.int32)
 
-    # --- within-block monotone routing: survivors to the block front ---
-    keep = keep_ref[...]
+    # --- within-block monotone routing: survivors to the block front.
+    # keep_ref is PACKED (bit 0 = keep, high bits = bool flag planes
+    # riding the routing word — see compact.py FLAG_BASE). ---
+    keep_word = keep_ref[...]
+    keep = keep_word & 1
     dropped = 1 - keep
     lane_cs = _cumsum(dropped, axis=1)
     row_tot = lane_cs[:, LANES - 1:LANES]
     row_off = _cumsum(row_tot, axis=0) - row_tot
     dist = lane_cs - dropped + row_off
-    d = jnp.where(keep != 0, dist + 1, _i32(0))
-    vals = [in_refs[w][...] for w in range(nops)]
-    for stage in range(_ceil_log2(block)):
-        s = 1 << stage
-        sd = _flat_shift(d, s, rows, zero_fill=True)
-        moved_in = jnp.logical_and(sd > 0, ((sd - 1) & s) != 0)
-        moved_out = jnp.logical_and(d > 0, ((d - 1) & s) != 0)
-        d = jnp.where(moved_in, sd - s, jnp.where(moved_out, _i32(0), d))
-        vals = [jnp.where(moved_in, _flat_shift(v, s, rows, False), v)
-                for v in vals]
+    m = jnp.where(keep != 0, dist | (keep_word & np.int32(_FLAGS_MASK)),
+                  _i32(0))
+    vals = [in_refs[w][...] for w in range(ndata)]
+    m, vals = _route_m(m, vals, rows, block)
+    vals = vals + [(m >> _i32(FLAG_BASE + k)) & 1 for k in range(nflag)]
 
     # --- merge into the 2-block accumulator at [r, r+cnt) ---
     r = r_ref[b]
@@ -116,11 +118,11 @@ def _kernel(nops, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref, *refs):
             acc[w][...] = jnp.where(row2 < rows, a, _i32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(keep_i32, words, *, interpret=False):
-    n = keep_i32.shape[0]
-    nops = len(words)
-    # VMEM budget: each routed word needs ~3x a (2*rows, LANES) i32
+@functools.partial(jax.jit, static_argnames=("nflag", "interpret"))
+def _run(keep_packed, data_words, nflag, *, interpret=False):
+    n = keep_packed.shape[0]
+    nops = len(data_words) + nflag
+    # VMEM budget: each output word needs ~3x a (2*rows, LANES) i32
     # buffer (accumulator + double-buffered in/out); shrink the block
     # when many words ride one compaction (8 words at rows=512 blew the
     # 16 MB scoped-vmem limit). nops*rows <= 2048 keeps the proven
@@ -131,12 +133,13 @@ def _run(keep_i32, words, *, interpret=False):
     block = rows * LANES
     npad = -(-n // block) * block
     nblocks = npad // block
-    keep2 = _pad_to(keep_i32, npad).reshape(nblocks * rows, LANES)
+    keep2 = _pad_to(keep_packed, npad).reshape(nblocks * rows, LANES)
     words2 = [_pad_to(w, npad).reshape(nblocks * rows, LANES)
-              for w in words]
+              for w in data_words]
+    ndata = len(words2)
 
     # offsets pre-pass (XLA): per-block survivor counts + exclusive scan
-    counts = jnp.sum(keep2.reshape(nblocks, block), axis=1,
+    counts = jnp.sum(keep2.reshape(nblocks, block) & 1, axis=1,
                      dtype=jnp.int32)
     off = jnp.cumsum(counts, dtype=jnp.int32) - counts
     total = off[-1] + counts[-1]
@@ -159,14 +162,14 @@ def _run(keep_i32, words, *, interpret=False):
         grid=(nblocks + 1,),
         in_specs=[pl.BlockSpec((rows, LANES),
                                lambda b, *_: (jnp.minimum(b, last), jnp.int32(0)),
-                               memory_space=pltpu.VMEM)] * (1 + nops),
+                               memory_space=pltpu.VMEM)] * (1 + ndata),
         out_specs=[pl.BlockSpec((rows, LANES),
                                 lambda b, q_ref, *_: (q_ref[b], jnp.int32(0)),
                                 memory_space=pltpu.VMEM)] * nops,
         scratch_shapes=[pltpu.VMEM((2 * rows, LANES), jnp.int32)] * nops,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, nops, rows),
+        functools.partial(_kernel, ndata, nflag, rows),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nblocks * rows, LANES), jnp.int32)
                    for _ in range(nops)],
@@ -194,8 +197,13 @@ def compact_pallas2(arrays, keep, *, interpret: bool = False):
         spans.append((len(words), len(words) + len(w)))
         descs.append(desc)
         words.extend(w)
-    word_outs, count = _run(keep.astype(jnp.int32), words,
-                            interpret=interpret)
+    data_idx, flag_idx = split_flag_words(words, descs, spans)
+    kw = pack_keep_word(keep, words, flag_idx)
+    outs_run, count = _run(kw, [words[i] for i in data_idx],
+                           len(flag_idx), interpret=interpret)
+    word_outs = reassemble_words(outs_run[:len(data_idx)],
+                                 outs_run[len(data_idx):],
+                                 data_idx, flag_idx, len(words))
     outs = [_from_words(word_outs[lo:hi], desc)
             for (lo, hi), desc in zip(spans, descs)]
     return outs, count

@@ -61,6 +61,52 @@ def test_compact2_8byte_and_bool_words(rng):
     np.testing.assert_array_equal(np.asarray(vo)[:cnt], v[keep])
 
 
+def test_compact2_many_bools_overflow_flag_slots(rng):
+    """More bool arrays than MAX_FLAGS: the overflow routes as regular
+    words — results identical either way."""
+    from libgdf_tpu.ops.pallas.compact import MAX_FLAGS
+    n = 2 * B + 33
+    nb = MAX_FLAGS + 2
+    bools = [rng.random(n) < 0.5 for _ in range(nb)]
+    keep = rng.random(n) < 0.6
+    outs, cnt = compact2.compact_pallas2(
+        [jnp.asarray(b) for b in bools], jnp.asarray(keep),
+        interpret=True)
+    cnt = int(cnt)
+    assert cnt == int(keep.sum())
+    for o, b in zip(outs, bools):
+        np.testing.assert_array_equal(np.asarray(o)[:cnt], b[keep])
+
+
+def test_compact_v1_flags_and_carry(rng):
+    """v1 routing kernel (ops/pallas/compact.py) on tiny geometry:
+    bool planes ride the packed routing word's high bits, and their
+    values survive the cross-block partial-row carry."""
+    from libgdf_tpu.ops.pallas import compact
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(compact, "ROWS", 8)
+    mp.setattr(compact, "BLOCK", 8 * 128)
+    compact._run.clear_cache()
+    try:
+        n = 4 * B + 57
+        x = rng.integers(-2**31, 2**31, n).astype(np.int32)
+        v = rng.random(n) < 0.7
+        w = rng.random(n) < 0.3
+        keep = rng.random(n) < 0.4
+        (xo, vo, wo), cnt = compact.compact_pallas(
+            [jnp.asarray(x), jnp.asarray(v), jnp.asarray(w)],
+            jnp.asarray(keep), interpret=True)
+        cnt = int(cnt)
+        assert cnt == int(keep.sum())
+        np.testing.assert_array_equal(np.asarray(xo)[:cnt], x[keep])
+        np.testing.assert_array_equal(np.asarray(vo)[:cnt], v[keep])
+        np.testing.assert_array_equal(np.asarray(wo)[:cnt], w[keep])
+    finally:
+        mp.undo()
+        compact._run.clear_cache()
+
+
 def test_compact2_empty():
     (out,), cnt = compact2.compact_pallas2(
         [jnp.zeros((0,), jnp.int32)], jnp.zeros((0,), bool),
