@@ -44,6 +44,17 @@ CONFIGS = {
     "groupby_10M": (24, 10_000_000, 2_000_000),
 }
 
+# BASELINE config 3 also mandates the LEFT join and the duplicate-key
+# (many-to-many, general-path) join at 10M x 1M. They are measured and
+# recorded every run, but EXCLUDED from the headline geomean so the
+# metric stays comparable across rounds (same four configs since r1).
+# Neither uses the assume_unique_build hint: both compile the runtime
+# lax.cond dual-path join — the shape most users hit.
+EXTRA_CONFIGS = {
+    "leftjoin_10Mx1M": (16, 10_000_000, 2_000_000),
+    "join_dup_10Mx1M": (16, 10_000_000, 2_000_000),
+}
+
 
 def log(msg):
     print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}",
@@ -119,7 +130,7 @@ def run_config(name, rows=None):
 
     rng = np.random.default_rng(0)
 
-    n_target = CONFIGS[name][1]
+    n_target = {**CONFIGS, **EXTRA_CONFIGS}[name][1]
     n = int(rows) if rows else n_target
 
     if name == "filter_1M":
@@ -165,6 +176,53 @@ def run_config(name, rows=None):
             return ops.inner_join(left, right, ["k"], ["k"],
                                   out_capacity=n,
                                   assume_unique_build=True)
+
+        dt = _time(run, pk, pnull, bk, bv)
+
+    elif name == "leftjoin_10Mx1M":
+        # BASELINE config 3's LEFT half: same data shape as the inner
+        # join (unique build side, 5% null probe keys) but NO planner
+        # hint — the jitted program holds the runtime lax.cond dual-path
+        # join, the default any-user shape. Output = one row per live
+        # probe row (matched or -1), capacity n.
+        nb = 1_000_000
+        pk = jnp.asarray(rng.integers(0, nb, n).astype(np.int32))
+        pnull = jnp.asarray(rng.random(n) < 0.05)
+        bk = jnp.asarray(rng.permutation(nb).astype(np.int32))
+        bv = jnp.asarray(rng.standard_normal(nb).astype(np.float32))
+
+        @jax.jit
+        def run(pk, pnull, bk, bv):
+            left = Table.from_dict({"k": pk}, nulls={"k": pnull})
+            right = Table.from_dict({"k": bk, "w": bv})
+            return ops.left_join(left, right, ["k"], ["k"],
+                                 out_capacity=n)
+
+        dt = _time(run, pk, pnull, bk, bv)
+
+    elif name == "join_dup_10Mx1M":
+        # Duplicate-key inner join: every build key appears MULT times,
+        # so each matched probe row emits MULT output rows through the
+        # general many-to-many path (≅ the multimap's core case,
+        # join_compute_api.h:204-321). No hint; the runtime cond takes
+        # the general branch. rows/s is counted over PROBE rows; the
+        # emitted output is MULT x larger (recorded as rows_out).
+        nb = 1_000_000
+        mult = 4
+        ndistinct = nb // mult
+        pk = jnp.asarray(rng.integers(0, ndistinct, n).astype(np.int32))
+        pnull = jnp.asarray(rng.random(n) < 0.05)
+        bk = jnp.asarray(np.repeat(
+            rng.permutation(ndistinct), mult).astype(np.int32))
+        bv = jnp.asarray(rng.standard_normal(nb).astype(np.float32))
+        cap = n * mult
+
+        @jax.jit
+        def run(pk, pnull, bk, bv):
+            left = Table.from_dict({"k": pk}, nulls={"k": pnull})
+            right = Table.from_dict({"k": bk, "w": bv})
+            return ops.inner_join(left, right, ["k"], ["k"],
+                                  out_capacity=cap)
 
         dt = _time(run, pk, pnull, bk, bv)
 
@@ -258,38 +316,49 @@ def _try_config(name, rows, attempts=2):
     return None
 
 
+def _measure(name, bpr, target_rows, fallback_rows):
+    entry = _try_config(name, target_rows)
+    if entry is None and fallback_rows:
+        # Partial credit: measure the same op at a reduced scale and
+        # label it honestly — a degraded geomean beats a poisoned one.
+        log(f"{name}: target scale failed; trying fallback "
+            f"{fallback_rows} rows")
+        entry = _try_config(name, fallback_rows, attempts=1)
+        if entry is not None:
+            entry["failed_at_target_scale"] = True
+            entry["target_rows"] = target_rows
+    if entry is None:
+        entry = dict(rows=0, secs=0.0, rows_per_s=1.0, failed=True)
+    entry["min_bytes_per_row"] = bpr
+    target = HBM_GBPS / bpr / 1.3
+    entry["target_rows_per_s"] = target
+    entry["vs_target"] = entry["rows_per_s"] / target
+    note = " (FAILED)" if entry.get("failed") else (
+        " (fallback scale)" if entry.get("failed_at_target_scale")
+        else "")
+    log(f"{name}: {entry['rows_per_s']:.3e} rows/s{note}")
+    return entry
+
+
 def main():
     results = {}
     for name, (bpr, target_rows, fallback_rows) in CONFIGS.items():
-        entry = _try_config(name, target_rows)
-        if entry is None and fallback_rows:
-            # Partial credit: measure the same op at a reduced scale and
-            # label it honestly — a degraded geomean beats a poisoned one.
-            log(f"{name}: target scale failed; trying fallback "
-                f"{fallback_rows} rows")
-            entry = _try_config(name, fallback_rows, attempts=1)
-            if entry is not None:
-                entry["failed_at_target_scale"] = True
-                entry["target_rows"] = target_rows
-        if entry is None:
-            entry = dict(rows=0, secs=0.0, rows_per_s=1.0, failed=True)
-        entry["min_bytes_per_row"] = bpr
-        results[name] = entry
-        note = " (FAILED)" if entry.get("failed") else (
-            " (fallback scale)" if entry.get("failed_at_target_scale")
-            else "")
-        log(f"{name}: {entry['rows_per_s']:.3e} rows/s{note}")
+        results[name] = _measure(name, bpr, target_rows, fallback_rows)
 
-    ratios, rates = [], []
-    for cfg in results.values():
-        target = HBM_GBPS / cfg["min_bytes_per_row"] / 1.3
-        cfg["target_rows_per_s"] = target
-        cfg["vs_target"] = cfg["rows_per_s"] / target
-        ratios.append(cfg["vs_target"])
-        rates.append(cfg["rows_per_s"])
-
+    ratios = [results[n]["vs_target"] for n in CONFIGS]
+    rates = [results[n]["rows_per_s"] for n in CONFIGS]
     geomean_rate = float(np.exp(np.mean(np.log(rates))))
     geomean_ratio = float(np.exp(np.mean(np.log(ratios))))
+
+    # Mandated extra join shapes: measured + recorded, outside the
+    # headline geomean (keeps the metric comparable across rounds).
+    extra_line = {}
+    for name, (bpr, target_rows, fallback_rows) in EXTRA_CONFIGS.items():
+        e = _measure(name, bpr, target_rows, fallback_rows)
+        e["extra"] = True
+        results[name] = e
+        extra_line[name] = round(e["rows_per_s"])
+
     with open(os.path.join(ROOT, "BENCH_DETAILS.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({
@@ -297,6 +366,7 @@ def main():
         "value": round(geomean_rate),
         "unit": "rows/s",
         "vs_baseline": round(geomean_ratio, 4),
+        "extra_configs_rows_per_s": extra_line,
     }))
 
 
