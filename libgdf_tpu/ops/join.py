@@ -100,7 +100,12 @@ def lex_searchsorted(sorted_keys, query_keys, side: str) -> jax.Array:
     """For each query row, the insertion point into the lexicographically
     sorted multi-key arrays. All queries advance in lockstep: log2(n)
     rounds, each one gather + compare per key column (VPU-friendly — the
-    TPU analogue of mgpu sorted_search, sort-join.cuh:48-66)."""
+    TPU analogue of mgpu sorted_search, sort-join.cuh:48-66).
+
+    Engine consumers: window RANGE frames (ops/window.py) locate each
+    row's value-bounded frame start with one lex search over the
+    (partition, order) sort. (The join itself uses the merged-sort emit
+    plan below instead.)"""
     n = sorted_keys[0].shape[0]
     m = query_keys[0].shape[0]
     steps = max(1, (n + 1).bit_length())

@@ -275,6 +275,86 @@ def test_window_nulls_skipped(rng):
         np.testing.assert_allclose(got[i], vv[lo:i + 1].sum(), rtol=1e-9)
 
 
+@pytest.mark.parametrize("w", [1, 2, 7, 8, 50])
+@pytest.mark.parametrize("red", ["min", "max"])
+def test_window_minmax_ladder_widths(rng, red, w):
+    """The O(n log p) two-block ladder across power-of-2 edge widths
+    (w=8: the second block is a zero shift; w=1: empty ladder) and
+    partition boundaries."""
+    import pandas as pd
+    n = 400
+    part = rng.integers(0, 5, n).astype(np.int32)
+    order = rng.permutation(n).astype(np.int32)
+    v = rng.standard_normal(n)
+    t = Table.from_dict({"p": part, "o": order, "v": v})
+    out = ops.window_function(t, "v", red, preceding=w,
+                              partition_by=["p"], order_by=["o"])
+    df = pd.DataFrame({"p": part, "o": order, "v": v})
+    g = df.sort_values("o").groupby("p")["v"].rolling(w, min_periods=1)
+    expect = getattr(g, red)().reset_index(level=0, drop=True)
+    expect = expect.sort_index().to_numpy()
+    np.testing.assert_allclose(np.asarray(out.data), expect, rtol=1e-12)
+
+
+@pytest.mark.parametrize("red", ["sum", "min", "max", "count", "avg"])
+def test_window_range_frame(rng, red):
+    """GDF_WINDOW_RANGE: frame = rows of the partition whose order VALUE
+    is within [o_i - delta, o_i]; numpy loop oracle."""
+    n, delta = 300, 7
+    part = rng.integers(0, 4, n).astype(np.int32)
+    order = rng.integers(0, 60, n).astype(np.int32)  # with ties
+    v = rng.standard_normal(n)
+    t = Table.from_dict({"p": part, "o": order, "v": v})
+    out = ops.window_function(t, "v", red, preceding=delta,
+                              partition_by=["p"], order_by=["o"],
+                              frame="range")
+    got = np.asarray(out.data)
+    from libgdf_tpu.ops.hashing import hash_columns
+    ph = np.asarray(hash_columns([t["p"]]))
+    sidx = np.lexsort((order, ph))  # the engine's (hash, order) sort
+    expect = np.empty(n)
+    for pos, i in enumerate(sidx):
+        in_frame = [j for j in sidx[:pos + 1]
+                    if part[j] == part[i] and order[i] - delta <= order[j]]
+        # ties ABOVE the current row in sort order are excluded (frame
+        # ends at the current ROW, like SQL RANGE ... AND CURRENT ROW
+        # over a stable sort); include tied rows at or before pos
+        vals = v[in_frame]
+        if red == "sum":
+            expect[i] = vals.sum()
+        elif red == "min":
+            expect[i] = vals.min()
+        elif red == "max":
+            expect[i] = vals.max()
+        elif red == "count":
+            expect[i] = len(vals)
+        else:
+            expect[i] = vals.mean()
+    np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
+
+
+def test_window_range_frame_floats_no_partition(rng):
+    n, delta = 200, 0.5
+    order = np.sort(rng.standard_normal(n)).astype(np.float64)
+    v = rng.standard_normal(n)
+    t = Table.from_dict({"o": order, "v": v})
+    out = ops.window_function(t, "v", "sum", preceding=delta,
+                              order_by=["o"], frame="range")
+    got = np.asarray(out.data)
+    for i in range(n):
+        mask = (order >= order[i] - delta) & (np.arange(n) <= i)
+        np.testing.assert_allclose(got[i], v[mask].sum(), rtol=1e-9)
+
+
+def test_window_range_requires_single_order_key():
+    t = Table.from_dict({"o": np.arange(4, dtype=np.int32),
+                         "o2": np.arange(4, dtype=np.int32),
+                         "v": np.arange(4, dtype=np.float64)})
+    with pytest.raises(GDFError):
+        ops.window_function(t, "v", "sum", preceding=2,
+                            order_by=["o", "o2"], frame="range")
+
+
 def test_window_rejects_bad_reduction():
     t = Table.from_dict({"v": np.arange(4, dtype=np.float64)})
     with pytest.raises(GDFError):
