@@ -137,9 +137,11 @@ def _pallas_scans() -> bool:
 
 def _warn_xla_scan_fallback(what: str, n: int) -> None:
     """XLA scan lowerings cost ~100 s+ of (lazy) server compile per
-    multi-million-row instance on the axon TPU backend (PERF.md). The
-    few remaining fallback dtypes (f64 sums, f16 etc.) warn once per
-    kind so a silently slow compile is at least attributable."""
+    multi-million-row instance on the axon TPU backend (PERF.md). Every
+    sum dtype now has a Pallas route (i32/u32/f32 native, 64-bit int
+    carry pairs, f64 double-float, f16 via f32); this warning remains
+    for any residual shape (e.g. f64 min/max reverse scans) so a
+    silently slow compile is at least attributable."""
     if n < 1_000_000 or not use_pallas():
         return
     import warnings
@@ -158,16 +160,29 @@ _WARNED: set = set()
 
 
 def cumsum(x: jax.Array, dtype=None) -> jax.Array:
-    """Inclusive prefix sum (see module scan note)."""
+    """Inclusive prefix sum (see module scan note).
+
+    TPU dtype routing: i32/u32/f32 -> native Pallas scan; int64/uint64
+    -> exact (hi,lo) u32 carry pairs; float64 -> compensated double-
+    float pairs (deterministic, ~2^-47 relative — see pallas/scan.py);
+    float16 -> the f32 kernel, rounded back. Nothing sum-shaped reaches
+    XLA's scan lowering (the axon compile bomb) anymore."""
     if dtype is not None:
         x = x.astype(dtype)
     if _pallas_scans():
-        from .pallas.scan import (cumsum64_pallas, scan_pallas,
-                                  scan_pallas_supported, sum64_supported)
+        from .pallas.scan import (cumsum64_pallas, cumsum_f64_pallas,
+                                  scan_pallas, scan_pallas_supported,
+                                  sum64_supported, sumff_supported)
         if scan_pallas_supported(x):
             return scan_pallas("sum", x, interpret=pallas_interpret())
         if sum64_supported(x):
             return cumsum64_pallas(x, interpret=pallas_interpret())
+        if sumff_supported(x):
+            return cumsum_f64_pallas(x, interpret=pallas_interpret())
+        if x.dtype == jnp.float16:
+            return scan_pallas("sum", x.astype(jnp.float32),
+                               interpret=pallas_interpret()).astype(
+                jnp.float16)
         _warn_xla_scan_fallback(f"cumsum[{x.dtype}]", x.shape[0])
     return jnp.cumsum(x)
 
@@ -195,13 +210,21 @@ def _seg_scan(kind: str, vals, starts):
     if _pallas_scans():
         from .pallas.scan import (scan_pallas_pair, scan_pallas_supported,
                                   seg_sel64_pallas, seg_sum64_pallas,
-                                  sum64_supported)
+                                  seg_sum_f64_pallas, sum64_supported,
+                                  sumff_supported)
         if scan_pallas_supported(vals, starts):
             return scan_pallas_pair(kind, starts, vals,
                                     interpret=pallas_interpret())
         if kind == "sum" and sum64_supported(vals):
             return seg_sum64_pallas(starts, vals,
                                     interpret=pallas_interpret())
+        if kind == "sum" and sumff_supported(vals):
+            return seg_sum_f64_pallas(starts, vals,
+                                      interpret=pallas_interpret())
+        if kind == "sum" and vals.dtype == jnp.float16:
+            return scan_pallas_pair(
+                kind, starts, vals.astype(jnp.float32),
+                interpret=pallas_interpret()).astype(jnp.float16)
         if kind in ("min", "max") and jnp.dtype(vals.dtype) in (
                 jnp.dtype(jnp.int64), jnp.dtype(jnp.uint64),
                 jnp.dtype(jnp.float64)):

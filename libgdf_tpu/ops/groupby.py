@@ -300,14 +300,12 @@ def _scan_agg(vals, avalid, starts, op, group_live, out_name):
 
     if op == "avg":
         # ≅ multi_pass_avg (groupby.cuh:308-419): sum + count, divide.
-        # float32-and-smaller inputs accumulate in f32: the scan then
-        # rides the Pallas kernel (4-byte lanes); a f64 accumulator would
-        # fall back to XLA's scan — the axon server-compile bomb (105 s+
-        # at 10M). f64/int inputs keep the f64 accumulator (exactness).
-        acc_dt = (jnp.float32 if vals.dtype in (jnp.dtype(jnp.float32),
-                                                jnp.dtype(jnp.float16))
-                  else jnp.float64)
-        fvals = vals.astype(acc_dt)
+        # f64 accumulation for every input dtype: the engine's f64 sum
+        # scan is a compensated double-float Pallas kernel on TPU
+        # (~2^-47 relative, deterministic — pallas/scan.py), so this no
+        # longer trades precision for the Mosaic path (round-4 advisor
+        # finding: f32 running sums lost digits on large groups).
+        fvals = vals.astype(jnp.float64)
         if avalid is not None:
             fvals = jnp.where(avalid, fvals, 0.0)
             ones = avalid.astype(jnp.int32)

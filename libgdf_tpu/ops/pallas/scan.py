@@ -279,6 +279,218 @@ def _seg_sum64_kernel(f_ref, h_ref, l_ref, oh_ref, ol_ref,
     cl_ref[...] = _bcast_last(low)
 
 
+# ---------------------------------------------------------------------------
+# f64 SUM scans: a float64 value is carried as a DOUBLE-FLOAT (hi, lo)
+# f32 pair (x = hi + lo exactly at split time); the combine is Knuth
+# TwoSum on the hi terms with the rounding error folded into lo. Unlike
+# the integer pair kernels this is not bit-exact f64 — the combine is
+# only quasi-associative — but the scan applies it in a fixed tree
+# order, so results are DETERMINISTIC with ~2^-47 relative error
+# (validated against numpy f64 in tests/test_pallas_scan.py), versus
+# the alternative of XLA's scan lowering: ~100 s+ of server compile per
+# multi-M-row instance on axon (PERF.md) for f64 rounding that is
+# itself association-order-dependent. |x| must fit float32's exponent
+# range (~1e38) — beyond it hi overflows to inf (documented in README).
+# ---------------------------------------------------------------------------
+
+
+def _addff(ha, la, hb, lb):
+    """Double-float add: TwoSum(ha, hb) + low-order terms."""
+    s = ha + hb
+    bv = s - ha
+    err = (ha - (s - bv)) + (hb - bv)
+    return s, la + lb + err
+
+
+def _scan_axis_addff(h, low, axis):
+    size = h.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, h.shape, axis)
+    s = 1
+    while s < size:
+        hs = pltpu.roll(h, np.int32(s), axis)
+        ls = pltpu.roll(low, np.int32(s), axis)
+        nh, nl = _addff(hs, ls, h, low)
+        live = idx >= s
+        h = jnp.where(live, nh, h)
+        low = jnp.where(live, nl, low)
+        s <<= 1
+    return h, low
+
+
+def _scan_axis_seg_ff(f, h, low, axis):
+    size = f.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, axis)
+    s = 1
+    while s < size:
+        fs = pltpu.roll(f, np.int32(s), axis)
+        hs = pltpu.roll(h, np.int32(s), axis)
+        ls = pltpu.roll(low, np.int32(s), axis)
+        ah, al = _addff(hs, ls, h, low)
+        head = f != 0
+        nh = jnp.where(head, h, ah)
+        nl = jnp.where(head, low, al)
+        live = idx >= s
+        h = jnp.where(live, nh, h)
+        low = jnp.where(live, nl, low)
+        f = jnp.where(live, fs | f, f)
+        s <<= 1
+    return f, h, low
+
+
+def _sumff_kernel(h_ref, l_ref, oh_ref, ol_ref, ch_ref, cl_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        ch_ref[...] = jnp.zeros((1, LANES), ch_ref.dtype)
+        cl_ref[...] = jnp.zeros((1, LANES), cl_ref.dtype)
+
+    h = h_ref[...]
+    low = l_ref[...]
+    h, low = _scan_axis_addff(h, low, 1)
+    th, tl = _scan_axis_addff(h[:, LANES - 1:LANES],
+                              low[:, LANES - 1:LANES], 0)
+    eh = pltpu.roll(th, np.int32(1), 0)
+    el = pltpu.roll(tl, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    eh = jnp.where(rowi >= 1, eh, jnp.zeros((ROWS, 1), h.dtype))
+    el = jnp.where(rowi >= 1, el, jnp.zeros((ROWS, 1), low.dtype))
+    h, low = _addff(eh, el, h, low)
+    h, low = _addff(ch_ref[0:1, :], cl_ref[0:1, :], h, low)
+    oh_ref[...] = h
+    ol_ref[...] = low
+    ch_ref[...] = _bcast_last(h)
+    cl_ref[...] = _bcast_last(low)
+
+
+def _seg_sumff_kernel(f_ref, h_ref, l_ref, oh_ref, ol_ref,
+                      cf_ref, ch_ref, cl_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        cf_ref[...] = jnp.zeros((1, LANES), jnp.int32)
+        ch_ref[...] = jnp.zeros((1, LANES), ch_ref.dtype)
+        cl_ref[...] = jnp.zeros((1, LANES), cl_ref.dtype)
+
+    f = f_ref[...]
+    h = h_ref[...]
+    low = l_ref[...]
+    f, h, low = _scan_axis_seg_ff(f, h, low, 1)
+    lf, lh, ll = (f[:, LANES - 1:LANES], h[:, LANES - 1:LANES],
+                  low[:, LANES - 1:LANES])
+    lf, lh, ll = _scan_axis_seg_ff(lf, lh, ll, 0)
+    ef = pltpu.roll(lf, np.int32(1), 0)
+    eh = pltpu.roll(lh, np.int32(1), 0)
+    el = pltpu.roll(ll, np.int32(1), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0)
+    ef = jnp.where(rowi >= 1, ef, jnp.zeros((ROWS, 1), jnp.int32))
+    eh = jnp.where(rowi >= 1, eh, jnp.zeros((ROWS, 1), h.dtype))
+    el = jnp.where(rowi >= 1, el, jnp.zeros((ROWS, 1), low.dtype))
+    head = f != 0
+    ah, al = _addff(eh, el, h, low)
+    h = jnp.where(head, h, ah)
+    low = jnp.where(head, low, al)
+    f = ef | f
+    head = f != 0
+    ah, al = _addff(ch_ref[0:1, :], cl_ref[0:1, :], h, low)
+    h = jnp.where(head, h, ah)
+    low = jnp.where(head, low, al)
+    f = cf_ref[0:1, :] | f
+    oh_ref[...] = h
+    ol_ref[...] = low
+    cf_ref[...] = _bcast_last(f)
+    ch_ref[...] = _bcast_last(h)
+    cl_ref[...] = _bcast_last(low)
+
+
+def _split_ff(x):
+    """f64 -> (hi f32, lo f32) with x == hi + lo exactly (hi in f32
+    range; the residual is representable unless it underflows f32's
+    denormal floor, which XLA flushes to zero anyway — core/bits.py)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _join_ff(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_sumff(x, *, interpret=False):
+    n = x.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    hi, lo = _split_ff(_pad_to(x, npad))
+    h2 = hi.reshape(nblocks * ROWS, LANES)
+    l2 = lo.reshape(nblocks * ROWS, LANES)
+    oh, ol = pl.pallas_call(
+        _sumff_kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec((ROWS, LANES),
+                                lambda b: (b, jnp.int32(0)),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                        jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.float32)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(h2, l2)
+    return _join_ff(oh.reshape(-1)[:n], ol.reshape(-1)[:n])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_seg_sumff(flags, x, *, interpret=False):
+    n = x.shape[0]
+    npad = -(-n // BLOCK) * BLOCK
+    nblocks = npad // BLOCK
+    f = _pad_to(flags.astype(jnp.int32), npad)
+    hi, lo = _split_ff(_pad_to(x, npad))
+    f2 = f.reshape(nblocks * ROWS, LANES)
+    h2 = hi.reshape(nblocks * ROWS, LANES)
+    l2 = lo.reshape(nblocks * ROWS, LANES)
+    oh, ol = pl.pallas_call(
+        _seg_sumff_kernel,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((ROWS, LANES), lambda b: (b, jnp.int32(0)),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec((ROWS, LANES),
+                                lambda b: (b, jnp.int32(0)),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nblocks * ROWS, LANES),
+                                        jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32),
+                        pltpu.VMEM((1, LANES), jnp.float32),
+                        pltpu.VMEM((1, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(f2, h2, l2)
+    return _join_ff(oh.reshape(-1)[:n], ol.reshape(-1)[:n])
+
+
+def sumff_supported(vals) -> bool:
+    return jnp.dtype(vals.dtype) == jnp.dtype(jnp.float64)
+
+
+def cumsum_f64_pallas(vals, *, interpret: bool = False):
+    """Compensated double-float inclusive f64 prefix sum."""
+    if vals.shape[0] == 0:
+        return vals
+    return _run_sumff(vals, interpret=interpret)
+
+
+def seg_sum_f64_pallas(flags, vals, *, interpret: bool = False):
+    """Compensated double-float segmented f64 sum scan."""
+    if vals.shape[0] == 0:
+        return vals
+    return _run_seg_sumff(flags, vals, interpret=interpret)
+
+
 # --- 64-bit MIN/MAX over order-preserving u64 encodings -------------------
 # The caller encodes (ops.sort.radix_encode: int64/f64 -> u64, order-
 # preserving), the kernel selects lexicographically on the (hi, lo) u32

@@ -83,6 +83,55 @@ def test_sum64_exact(rng, n):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("n", [100, 2 * B + 101])
+def test_sum_f64_compensated(rng, n):
+    """Double-float f64 sum scans: ~2^-47 relative vs numpy's f64
+    cumsum, across magnitude mixing that would lose digits in f32."""
+    x = rng.standard_normal(n) * np.exp(rng.uniform(-20, 20, n))
+    got = np.asarray(ps.cumsum_f64_pallas(jnp.asarray(x), interpret=True))
+    exp = np.cumsum(x)
+    np.testing.assert_allclose(got, exp, rtol=1e-12,
+                               atol=np.abs(x).max() * 1e-12)
+    f = rng.random(n) < 0.05
+    gid = np.cumsum(f)
+    got = np.asarray(ps.seg_sum_f64_pallas(jnp.asarray(f), jnp.asarray(x),
+                                           interpret=True))
+    exp = pd.Series(x).groupby(gid).cumsum().values
+    np.testing.assert_allclose(got, exp, rtol=1e-12,
+                               atol=np.abs(x).max() * 1e-12)
+
+
+def test_engine_f64_and_f16_sum_dispatch(rng):
+    """engine.cumsum / seg_scan_sum route f64 to the double-float kernel
+    and f16 through the f32 kernel under the Pallas backend."""
+    from libgdf_tpu.ops import engine
+    n = 2 * B + 9
+    x = rng.standard_normal(n)
+    f = rng.random(n) < 0.05
+    engine.configure(use_pallas=False, interpret=True)
+    try:
+        # compensated pairs: ~2^-47 of the running magnitude; after
+        # cancellation the RELATIVE error vs a small prefix value can
+        # exceed 1e-12, hence the absolute term.
+        got = np.asarray(engine.cumsum(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.cumsum(x), rtol=1e-11,
+                                   atol=1e-11)
+        gid = np.cumsum(f)
+        gots = np.asarray(engine.seg_scan_sum(jnp.asarray(x),
+                                              jnp.asarray(f)))
+        exps = pd.Series(x).groupby(gid).cumsum().values
+        np.testing.assert_allclose(gots, exps, rtol=1e-11, atol=1e-11)
+        h = (rng.standard_normal(n) / 8).astype(np.float16)
+        goth = engine.cumsum(jnp.asarray(h))
+        assert goth.dtype == jnp.float16
+        np.testing.assert_allclose(
+            np.asarray(goth).astype(np.float64),
+            np.cumsum(h.astype(np.float32)).astype(np.float16)
+            .astype(np.float64), rtol=2e-3, atol=2e-2)
+    finally:
+        engine.configure()
+
+
 @pytest.mark.parametrize("dtype", [np.int64, np.float64])
 @pytest.mark.parametrize("kind", ["min", "max"])
 def test_sel64_seg_minmax(rng, dtype, kind):
