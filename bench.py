@@ -95,23 +95,36 @@ def _time(fn, *args):
         t_k = min(run(k), run(k))
         t_2k = min(run(2 * k), run(2 * k))
         window = t_2k - t_k
-        if window > 0.08:
-            # Tunnel dispatch noise dominates sub-ms ops (observed 4x
-            # spread between runs): re-sample the marginal window and
-            # keep the MINIMUM — the dispatch pipeline only adds time,
-            # never removes it.
-            for _ in range(2):
+        if window > 0.32:
+            # Tunnel dispatch noise dominates sub-ms ops (observed 2x
+            # run-to-run spread at a 0.08 s window): resolve a WIDE
+            # (>0.32 s) marginal window, re-sample it and keep the
+            # MINIMUM — the dispatch pipeline only adds time, never
+            # removes it.
+            for _ in range(3):
                 w2 = min(run(2 * k), run(2 * k)) - min(run(k), run(k))
                 if 0 < w2 < window:
                     window = w2
             return window / k
-        if k >= 512 or t_2k > 20.0:
+        if k >= 2048 or t_2k > 20.0:
             # Marginal window never resolved above the noise floor (or
             # went negative on timing jitter): fall back to the absolute
             # per-iteration time — a conservative upper bound — rather
             # than report an inflated rate from a near-zero window.
             return t_2k / (2 * k)
         k *= 2
+
+
+def _time_best(fn, *args, reps=3):
+    """Min of several full _time measurements: the axon tunnel shows
+    2-3x steady-state spread BETWEEN identical runs (shared-host load);
+    the distribution's floor is the hardware's number."""
+    best = _time(fn, *args)
+    compile_s = _time.last_compile_s
+    for _ in range(reps - 1):
+        best = min(best, _time(fn, *args))
+    _time.last_compile_s = compile_s
+    return best
 
 
 def run_config(name, rows=None):
@@ -144,7 +157,7 @@ def run_config(name, rows=None):
             out = ops.filter_table(t, stencil)
             return out["a"].data, out.num_rows
 
-        dt = _time(run, a, nullm)
+        dt = _time_best(run, a, nullm)
 
     elif name == "groupby_10M":
         k = jnp.asarray(rng.integers(0, 100_000, n).astype(np.int64))
@@ -158,7 +171,7 @@ def run_config(name, rows=None):
                                          ("v", "avg", "m")])
             return out["s"].data, out.num_rows
 
-        dt = _time(run, k, v)
+        dt = _time_best(run, k, v)
 
     elif name == "join_10Mx1M":
         nb = 1_000_000
@@ -177,7 +190,7 @@ def run_config(name, rows=None):
                                   out_capacity=n,
                                   assume_unique_build=True)
 
-        dt = _time(run, pk, pnull, bk, bv)
+        dt = _time_best(run, pk, pnull, bk, bv)
 
     elif name == "leftjoin_10Mx1M":
         # BASELINE config 3's LEFT half: same data shape as the inner
@@ -198,7 +211,7 @@ def run_config(name, rows=None):
             return ops.left_join(left, right, ["k"], ["k"],
                                  out_capacity=n)
 
-        dt = _time(run, pk, pnull, bk, bv)
+        dt = _time_best(run, pk, pnull, bk, bv)
 
     elif name == "join_dup_10Mx1M":
         # Duplicate-key inner join: every build key appears MULT times,
@@ -224,7 +237,7 @@ def run_config(name, rows=None):
             return ops.inner_join(left, right, ["k"], ["k"],
                                   out_capacity=cap)
 
-        dt = _time(run, pk, pnull, bk, bv)
+        dt = _time_best(run, pk, pnull, bk, bv)
 
     elif name == "orderby_50M":
         k1 = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
@@ -237,7 +250,7 @@ def run_config(name, rows=None):
             return ops.order_by(t, ["a", "b"], ascending=[False, False],
                                 nulls_last=True)
 
-        dt = _time(run, k1, k2, k2null)
+        dt = _time_best(run, k1, k2, k2null)
     else:
         raise SystemExit(f"unknown config {name}")
 
