@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def bench_at(n_dev: int, rows_per_shard: int, num_batches: int = 2):
+def bench_at(n_dev: int, rows_per_shard: int, num_batches: int = 2,
+             variant: str = "plain"):
     import jax
 
     from libgdf_tpu import Table, ops
@@ -49,24 +50,38 @@ def bench_at(n_dev: int, rows_per_shard: int, num_batches: int = 2):
     hist, hot = par.detect_skew(mesh, sf, ["k"], num_bins=max(n_dev, 2))
     skew_ratio = float(hist.max() / max(hist.mean(), 1.0))
 
-    # Exact loss-proof slot sizing, computed eagerly so the jitted
-    # pipeline gets static shapes (dist ops validate explicit capacities
-    # eagerly and skip the check under trace).
-    slot_join = par.exact_slot_capacity(
-        mesh, [(sf, ["k"]), (sd, ["k"])], num_batches=num_batches)
-    out_cap = 4 * rows_per_shard
     aggs = [("v", "sum", "s"), ("v", "count", "c")]
 
-    def front(sf, sd):
-        def filt(local):
-            stencil = ops.compare_scalar(local["v"], -1.0, "gt")
-            return ops.filter_table(local, stencil)
+    def filt(local):
+        stencil = ops.compare_scalar(local["v"], -1.0, "gt")
+        return ops.filter_table(local, stencil)
 
-        filtered = par.map_shards(mesh, filt, sf)
-        return par.dist_join(
-            mesh, filtered, sd, ["k"], ["k"], how="inner",
-            slot_capacity=slot_join, out_capacity_per_shard=out_cap,
-            num_batches=num_batches)
+    if variant == "salted":
+        # The engine's actual answer to the config-5 skew clause: plan
+        # once eagerly (skew detection + loss-proof sizing), execute the
+        # salted join inside the fully-jitted pipeline.
+        filtered0 = par.map_shards(mesh, filt, sf)
+        plan = par.plan_salted_join(mesh, filtered0, sd, ["k"], ["k"],
+                                    how="inner", threshold=3.0)
+
+        def front(sf, sd):
+            filtered = par.map_shards(mesh, filt, sf)
+            return par.dist_join_salted(mesh, filtered, sd, ["k"], ["k"],
+                                        plan=plan)
+    else:
+        # Exact loss-proof slot sizing, computed eagerly so the jitted
+        # pipeline gets static shapes (dist ops validate explicit
+        # capacities eagerly and skip the check under trace).
+        slot_join = par.exact_slot_capacity(
+            mesh, [(sf, ["k"]), (sd, ["k"])], num_batches=num_batches)
+        out_cap = 4 * rows_per_shard
+
+        def front(sf, sd):
+            filtered = par.map_shards(mesh, filt, sf)
+            return par.dist_join(
+                mesh, filtered, sd, ["k"], ["k"], how="inner",
+                slot_capacity=slot_join, out_capacity_per_shard=out_cap,
+                num_batches=num_batches)
 
     # The groupby exchange's input is the JOIN OUTPUT (whose per-shard
     # distinct-key count can exceed any bound from sf/sd alone — ADVICE
@@ -114,23 +129,28 @@ def main():
 
     n_dev = min(want, len(jax.devices()))
 
-    r1 = bench_at(1, rows_per_shard)
-    rN = bench_at(n_dev, rows_per_shard) if n_dev > 1 else r1
-    eff = (rN["rows_per_s"] / (n_dev * r1["rows_per_s"])
-           if n_dev > 1 else 1.0)
-
-    print(json.dumps({
-        "metric": "dist_pipeline_zipf",
-        "rows": rN["rows"],
-        "devices": n_dev,
-        "groups_out": rN["groups_out"],
-        "skew_max_over_mean": rN["skew_max_over_mean"],
-        "secs": round(rN["secs"], 4),
-        "value": round(rN["rows_per_s"]),
-        "unit": "rows/s",
-        "rows_per_s_1dev": round(r1["rows_per_s"]),
-        "scaling_efficiency": round(eff, 3),
-    }))
+    out = {"metric": "dist_pipeline_zipf", "devices": n_dev,
+           "unit": "rows/s"}
+    for variant in ("plain", "salted"):
+        r1 = bench_at(1, rows_per_shard, variant=variant)
+        rN = (bench_at(n_dev, rows_per_shard, variant=variant)
+              if n_dev > 1 else r1)
+        eff = (rN["rows_per_s"] / (n_dev * r1["rows_per_s"])
+               if n_dev > 1 else 1.0)
+        entry = {
+            "rows": rN["rows"],
+            "groups_out": rN["groups_out"],
+            "skew_max_over_mean": rN["skew_max_over_mean"],
+            "secs": round(rN["secs"], 4),
+            "rows_per_s": round(rN["rows_per_s"]),
+            "rows_per_s_1dev": round(r1["rows_per_s"]),
+            "scaling_efficiency": round(eff, 3),
+        }
+        out[variant] = entry
+    # headline = the plain pipeline (comparable to prior rounds)
+    out["value"] = out["plain"]["rows_per_s"]
+    out["scaling_efficiency"] = out["plain"]["scaling_efficiency"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

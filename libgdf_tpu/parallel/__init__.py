@@ -11,6 +11,7 @@ from .shuffle import (
 from .distributed import (
     ShardedTable, broadcast_join, collect, detect_skew, dist_groupby,
     dist_join, dist_join_salted, distribute, exact_groupby_slot_capacity,
+    plan_salted_join, SaltedJoinPlan,
     exact_slot_capacity,
     map_shards,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "global_partition_histogram", "required_slot_capacity",
     "shuffle_shard", "ShardedTable", "broadcast_join", "collect",
     "detect_skew", "dist_groupby", "dist_join", "dist_join_salted",
+    "plan_salted_join", "SaltedJoinPlan",
     "distribute", "exact_groupby_slot_capacity",
     "exact_slot_capacity", "map_shards",
 ]

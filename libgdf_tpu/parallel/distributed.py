@@ -502,22 +502,84 @@ def _check_join_counts(out: ShardedTable, cap: int):
             f"re-run with a larger capacity")
 
 
-def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
+class SaltedJoinPlan:
+    """Planning product of the skew-aware join: the hot-bin mask plus
+    loss-proof capacities, all CONCRETE. Built eagerly once
+    (plan_salted_join); execution against a plan is pure and jittable —
+    the shard-map body is constructed once per plan, so repeat calls
+    (and fully-jitted pipelines) reuse one compiled program instead of
+    retracing (round-4 weak #5: the salted path was eager-only)."""
+
+    def __init__(self, mesh, left_on, right_on, how, hot, slot_capacity,
+                 hot_capacity_per_shard, out_capacity_per_shard,
+                 num_bins, axis_name):
+        self.mesh = mesh
+        self.left_on = tuple(left_on)
+        self.right_on = tuple(right_on)
+        self.how = how
+        self.hot = jnp.asarray(hot)
+        self.slot_capacity = int(slot_capacity)
+        self.hot_capacity_per_shard = int(hot_capacity_per_shard)
+        self.out_capacity_per_shard = int(out_capacity_per_shard)
+        self.num_bins = int(num_bins)
+        self.axis_name = axis_name
+        self._body = None
+
+    def left_salt(self, t: Table) -> jax.Array:
+        bins = _bins_of(t, self.left_on, self.num_bins)
+        is_hot = jnp.take(self.hot, bins)
+        nshards = int(self.mesh.devices.size)
+        spread = jnp.arange(t.capacity, dtype=jnp.int32) % nshards
+        return jnp.where(is_hot, spread, 0)
+
+    def body(self):
+        if self._body is not None:
+            return self._body
+        from ..ops.compaction import compact_table
+        plan = self
+
+        def _body(lt: Table, rt: Table):
+            # LEFT: salted shuffle (hot rows spread, cold co-located)
+            lt, ov_l = shuffle_shard(lt, plan.left_on, plan.axis_name,
+                                     plan.slot_capacity,
+                                     salt=plan.left_salt(lt),
+                                     return_overflow=True)
+            # RIGHT: split hot/cold
+            bins = _bins_of(rt, plan.right_on, plan.num_bins)
+            is_hot = jnp.logical_and(jnp.take(plan.hot, bins),
+                                     rt.live_mask())
+            cold_t, n_cold = compact_table(rt, jnp.logical_and(
+                jnp.logical_not(is_hot), rt.live_mask()))
+            cold_t = cold_t.with_num_rows(n_cold)
+            hot_t, n_hot = compact_table(rt, is_hot)
+            hot_t = _slice_rows(hot_t, plan.hot_capacity_per_shard)
+            hot_t = hot_t.with_num_rows(jnp.minimum(
+                n_hot, plan.hot_capacity_per_shard))
+            cold_sh, ov_r = shuffle_shard(cold_t, plan.right_on,
+                                          plan.axis_name,
+                                          plan.slot_capacity,
+                                          return_overflow=True)
+            hot_rep = all_gather_table(hot_t, plan.axis_name)
+            rt_local = _concat_live(cold_sh, hot_rep)
+            return (_local_join(lt, rt_local, plan.left_on, plan.right_on,
+                                how=plan.how,
+                                out_capacity=plan.out_capacity_per_shard),
+                    ov_l + ov_r)
+
+        self._body = _body
+        return _body
+
+
+def plan_salted_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
                      left_on, right_on, how: str = "inner",
                      out_capacity_per_shard: int | None = None,
                      slot_capacity: int | None = None,
                      hot_capacity_per_shard: int | None = None,
                      num_bins: int = 1024, threshold: float = 4.0,
-                     axis_name: str = DEFAULT_AXIS) -> ShardedTable:
-    """Skew-aware shuffle join (BASELINE config 5's Zipf pipeline).
-
-    Hot keys (detected from the psum'd key-hash histogram, ≅ the driver
-    reaction the reference designed its partition histogram for,
-    hashing.cu:488-503) are handled by SALTING: hot LEFT rows spread
-    round-robin over all shards; hot RIGHT rows are replicated to every
-    shard (all_gather of the filtered hot subset). Cold keys take the
-    normal co-located shuffle. inner/left only — a FULL join would emit
-    unmatched replicated build rows once per shard."""
+                     axis_name: str = DEFAULT_AXIS) -> SaltedJoinPlan:
+    """Eagerly plan a skew-aware join: detect hot bins (psum'd key-hash
+    histograms of BOTH sides) and compute loss-proof capacities. The
+    returned plan makes dist_join_salted jittable and retrace-free."""
     require(how in ("inner", "left"), GDFStatus.GDF_UNSUPPORTED_JOIN_TYPE,
             "salted join supports inner/left only")
     nshards = int(mesh.devices.size)
@@ -535,10 +597,9 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
         hot = np.logical_or(hot, hot_l)
     except jax.errors.ConcretizationTypeError:
         raise ValueError(
-            "dist_join_salted plans eagerly (skew detection + exact slot "
-            "sizing need concrete counts) — call it outside jit, or "
-            "compute capacities eagerly first and use dist_join with "
-            "explicit slot_capacity/out_capacity_per_shard") from None
+            "plan_salted_join plans eagerly (skew detection + exact slot "
+            "sizing need concrete counts) — call it outside jit, then "
+            "pass the plan to dist_join_salted inside jit") from None
     hotj = jnp.asarray(hot)
 
     def l_salt(t: Table) -> jax.Array:
@@ -576,14 +637,7 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
             jnp.sum(is_hot, dtype=jnp.int32), axis_name)
         return need, hot_cnt
 
-    try:
-        need, hot_max = (int(x) for x in sizing(left, right))
-    except jax.errors.ConcretizationTypeError:
-        raise ValueError(
-            "dist_join_salted plans eagerly (exact slot sizing needs "
-            "concrete counts) — call it outside jit, or compute "
-            "capacities eagerly first and use dist_join with explicit "
-            "slot_capacity/out_capacity_per_shard") from None
+    need, hot_max = (int(x) for x in sizing(left, right))
     if slot_capacity is None:
         slot_capacity = max(need, 1)
     else:
@@ -600,33 +654,44 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     if out_capacity_per_shard is None:
         out_capacity_per_shard = 2 * (lps + rps) + nshards * \
             hot_capacity_per_shard
+    return SaltedJoinPlan(mesh, left_on, right_on, how, hot,
+                          slot_capacity, hot_capacity_per_shard,
+                          out_capacity_per_shard, num_bins, axis_name)
 
-    from ..ops.compaction import compact_table
 
-    def body(lt: Table, rt: Table):
-        # LEFT: salted shuffle (hot rows spread, cold rows co-located)
-        lt, ov_l = shuffle_shard(lt, left_on, axis_name, slot_capacity,
-                                 salt=l_salt(lt), return_overflow=True)
-        # RIGHT: split hot/cold
-        bins = _bins_of(rt, right_on, num_bins)
-        is_hot = jnp.logical_and(jnp.take(hotj, bins), rt.live_mask())
-        cold_t, n_cold = compact_table(rt, jnp.logical_and(
-            jnp.logical_not(is_hot), rt.live_mask()))
-        cold_t = cold_t.with_num_rows(n_cold)
-        hot_t, n_hot = compact_table(rt, is_hot)
-        hot_t = _slice_rows(hot_t, hot_capacity_per_shard)
-        hot_t = hot_t.with_num_rows(jnp.minimum(
-            n_hot, hot_capacity_per_shard))
-        cold_sh, ov_r = shuffle_shard(cold_t, right_on, axis_name,
-                                      slot_capacity, return_overflow=True)
-        hot_rep = all_gather_table(hot_t, axis_name)
-        rt_local = _concat_live(cold_sh, hot_rep)
-        return _local_join(lt, rt_local, left_on, right_on, how=how,
-                           out_capacity=out_capacity_per_shard), ov_l + ov_r
+def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
+                     left_on, right_on, how: str = "inner",
+                     out_capacity_per_shard: int | None = None,
+                     slot_capacity: int | None = None,
+                     hot_capacity_per_shard: int | None = None,
+                     num_bins: int = 1024, threshold: float = 4.0,
+                     axis_name: str = DEFAULT_AXIS,
+                     plan: SaltedJoinPlan | None = None) -> ShardedTable:
+    """Skew-aware shuffle join (BASELINE config 5's Zipf pipeline).
 
-    out = map_shards(mesh, body, left, right, axis_name=axis_name)
-    out = _flag_count_overflow(out, out_capacity_per_shard)
-    _check_join_counts(out, out_capacity_per_shard)
+    Hot keys (detected from the psum'd key-hash histogram, ≅ the driver
+    reaction the reference designed its partition histogram for,
+    hashing.cu:488-503) are handled by SALTING: hot LEFT rows spread
+    round-robin over all shards; hot RIGHT rows are replicated to every
+    shard (all_gather of the filtered hot subset). Cold keys take the
+    normal co-located shuffle. inner/left only — a FULL join would emit
+    unmatched replicated build rows once per shard.
+
+    Without `plan`, planning runs eagerly here (needs concrete counts).
+    With a `plan` from plan_salted_join, execution is PURE and can run
+    inside a fully-jitted pipeline; repeat calls reuse one compiled
+    shard-map body."""
+    if plan is None:
+        plan = plan_salted_join(
+            mesh, left, right, left_on, right_on, how=how,
+            out_capacity_per_shard=out_capacity_per_shard,
+            slot_capacity=slot_capacity,
+            hot_capacity_per_shard=hot_capacity_per_shard,
+            num_bins=num_bins, threshold=threshold, axis_name=axis_name)
+    out = map_shards(mesh, plan.body(), left, right,
+                     axis_name=plan.axis_name)
+    out = _flag_count_overflow(out, plan.out_capacity_per_shard)
+    _check_join_counts(out, plan.out_capacity_per_shard)
     return out
 
 

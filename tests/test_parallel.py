@@ -313,6 +313,36 @@ def test_salted_join_zipf_matches_pandas(mesh, rng):
     np.testing.assert_allclose(got["rv"].values, exp["rv"].values)
 
 
+def test_salted_join_planned_runs_under_jit(mesh, rng):
+    """plan_salted_join + dist_join_salted(plan=...) inside a fully
+    jitted pipeline (round-4 weak #5: the salted path was eager-only),
+    matching the eager salted result exactly."""
+    nl, nr = 2048, 256
+    lk = np.where(rng.random(nl) < 0.5, 7,
+                  rng.integers(0, 300, nl)).astype(np.int32)
+    lv = rng.standard_normal(nl)
+    rk = np.arange(nr, dtype=np.int32)
+    rv = rng.standard_normal(nr)
+    sl = par.distribute(Table.from_dict({"k": lk, "lv": lv}), mesh)
+    sr = par.distribute(Table.from_dict({"k": rk, "rv": rv}), mesh)
+    plan = par.plan_salted_join(mesh, sl, sr, ["k"], ["k"], how="inner",
+                                num_bins=64, threshold=3.0)
+
+    @jax.jit
+    def pipeline(sl, sr):
+        return par.dist_join_salted(mesh, sl, sr, ["k"], ["k"],
+                                    plan=plan)
+
+    got = _df(par.collect(pipeline(sl, sr))).sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    exp = pd.DataFrame({"k": lk, "lv": lv}).merge(
+        pd.DataFrame({"k": rk, "rv": rv}), on="k").sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["lv"].values, exp["lv"].values)
+    np.testing.assert_allclose(got["rv"].values, exp["rv"].values)
+
+
 def test_salted_join_left_with_nulls(mesh, rng):
     nl, nr = 2048, 256
     lk = np.where(rng.random(nl) < 0.6, 11,
