@@ -59,6 +59,13 @@ def _load():
                                   ctypes.c_longlong]
     lib.gdf_csv_close.restype = None
     lib.gdf_csv_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.gdf_csv_column_text.restype = ctypes.c_longlong
+        lib.gdf_csv_column_text.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                            ctypes.c_void_p,
+                                            ctypes.c_void_p]
+    except AttributeError:  # stale .so without the batched entry point
+        lib.gdf_csv_column_text = None
     _lib = lib
     return lib
 
@@ -118,7 +125,30 @@ class NativeCsv:
         return buf.raw[:ln].decode("utf-8", errors="replace")
 
     def column_text(self, col: int):
-        return [self.field(i, col) for i in range(self.nrows)]
+        """All raw field texts of one column.
+
+        One batched C call (offsets + contiguous bytes buffer) instead
+        of one ctypes round-trip per field — the per-field path cost
+        str/date columns most of the native scanner's win (each call
+        also re-scanned the record from column 0). Falls back to the
+        per-field path on a stale .so."""
+        fn = getattr(self._lib, "gdf_csv_column_text", None)
+        if fn is None:
+            return [self.field(i, col) for i in range(self.nrows)]
+        n = self.nrows
+        offsets = np.empty(n + 1, np.int64)
+        total = fn(self._h, col, offsets.ctypes.data_as(ctypes.c_void_p),
+                   None)
+        buf = np.empty(max(int(total), 1), np.uint8)
+        fn(self._h, col, offsets.ctypes.data_as(ctypes.c_void_p),
+           buf.ctypes.data_as(ctypes.c_void_p))
+        off = offsets.tolist()          # python ints: fast slicing below
+        if not (buf & 0x80).any():      # ASCII: byte offsets == chars
+            s = buf.tobytes().decode("ascii")
+            return [s[off[i]:off[i + 1]] for i in range(n)]
+        mv = memoryview(buf)
+        return [str(mv[off[i]:off[i + 1]], "utf-8", "replace")
+                for i in range(n)]
 
     def close(self):
         if self._h:
@@ -139,7 +169,9 @@ def csv_scan_file(path, delimiter, lineterminator, num_cols, skiprows,
     f = NativeCsv(path, delimiter, lineterminator, skiprows, skipfooter,
                   skipinitialspace)
     try:
-        return [[f.field(i, j) for j in range(num_cols)]
-                for i in range(f.nrows)]
+        if f.nrows == 0:
+            return []
+        cols = [f.column_text(j) for j in range(num_cols)]
+        return [list(row) for row in zip(*cols)]
     finally:
         f.close()

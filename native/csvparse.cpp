@@ -257,6 +257,57 @@ long long gdf_csv_field(void *handle, long long row, int col, char *buf,
   return len;
 }
 
+// Batched text extraction for one column (str/date columns): fills
+// offsets[nrows+1] with cumulative byte offsets and, when bytes is
+// non-null, copies every field's raw text contiguously (parallel).
+// Two-call protocol: first with bytes == nullptr to size the buffer
+// (returns total bytes), then with the allocated buffer. Replaces the
+// one-ctypes-call-per-field path that cost str/date columns most of
+// the native scanner's win.
+long long gdf_csv_column_text(void *handle, int col, long long *offsets,
+                              char *bytes) {
+  auto *h = static_cast<CsvHandle *>(handle);
+  const size_t n = h->row_start.size();
+  unsigned nthreads = std::max(1u, std::thread::hardware_concurrency());
+  if (n < 4096) nthreads = 1;
+  const size_t chunk = (n + nthreads - 1) / nthreads;
+
+  if (bytes == nullptr) {
+    // pass 1: per-row field lengths (parallel), then prefix-sum
+    std::vector<std::thread> workers;
+    for (unsigned t = 0; t < nthreads; ++t) {
+      const size_t lo = t * chunk, hi = std::min(n, lo + chunk);
+      if (lo >= hi) break;
+      workers.emplace_back([h, col, lo, hi, offsets]() {
+        for (size_t i = lo; i < hi; ++i) {
+          size_t fs, fe;
+          find_field(h, h->row_start[i], h->row_end[i], col, &fs, &fe);
+          offsets[i + 1] = static_cast<long long>(fe - fs);
+        }
+      });
+    }
+    for (auto &w : workers) w.join();
+    offsets[0] = 0;
+    for (size_t i = 0; i < n; ++i) offsets[i + 1] += offsets[i];
+    return offsets[n];
+  }
+  // pass 2: parallel copy at the caller-provided offsets
+  std::vector<std::thread> workers;
+  for (unsigned t = 0; t < nthreads; ++t) {
+    const size_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back([h, col, lo, hi, offsets, bytes]() {
+      for (size_t i = lo; i < hi; ++i) {
+        size_t fs, fe;
+        find_field(h, h->row_start[i], h->row_end[i], col, &fs, &fe);
+        memcpy(bytes + offsets[i], h->data + fs, fe - fs);
+      }
+    });
+  }
+  for (auto &w : workers) w.join();
+  return offsets[n];
+}
+
 void gdf_csv_close(void *handle) {
   auto *h = static_cast<CsvHandle *>(handle);
   if (h->data) munmap(const_cast<char *>(h->data), h->size);
