@@ -408,12 +408,31 @@ def _emit_plan(how, bkeys, pkeys, b_nomatch, p_nomatch, b_live, p_live):
         low = ((isq_b << 31) | (matchable_b << 30) | (live_b << 29)
                | back_b)
         if bkeys[0].dtype.itemsize <= 4:
-            words = [(enc << 32) | low]
+            res = multi_sort(((enc << 32) | low,), num_keys=1,
+                             stable=False)
+            s_low = res[0]
+            s_enc_keys = [res[0] >> 32]
         else:
-            words = [enc, low]
-        res = multi_sort(tuple(words), num_keys=len(words), stable=False)
-        s_low = res[-1]
-        s_enc_keys = [res[0] >> 32] if len(words) == 1 else [res[0]]
+            # 64-bit keys: when the RUNTIME key range fits 32 bits (the
+            # common case for int64 ids), compress and share one sort
+            # word — the same dynamic fold as groupby's payload sort
+            # (ops/groupby.py::_fused_groupby_sort); a runtime cond
+            # picks, both programs compile.
+            klo = jnp.min(enc)
+            fits = (jnp.max(enc) - klo) < jnp.uint64(1 << 32)
+
+            def packed_sort(_):
+                w = ((enc - klo) << jnp.uint64(32)) | low
+                out = multi_sort((w,), num_keys=1, stable=False)
+                return (out[0] >> jnp.uint64(32)) + klo, out[0]
+
+            def general_sort(_):
+                out = multi_sort((enc, low), num_keys=2, stable=False)
+                return out[0], out[1]
+
+            s_enc, s_low = jax.lax.cond(fits, packed_sort, general_sort,
+                                        0)
+            s_enc_keys = [s_enc]
         s_isq = ((s_low >> 31) & jnp.uint64(1)).astype(jnp.int32)
         s_matchable = ((s_low >> 30) & jnp.uint64(1)) != 0
         s_live = ((s_low >> 29) & jnp.uint64(1)) != 0

@@ -152,6 +152,50 @@ def test_groupby_null_key_multikey_runs(rng):
     assert s == [7, 8, 10, 20]
 
 
+def test_groupby_wide_key_range_general_branch(rng):
+    """int64 keys spanning more than 2^32: the dynamic payload-fold
+    cond must take the general (2-operand) sort branch and still match
+    pandas exactly."""
+    n = 400
+    base = rng.integers(0, 20, n).astype(np.int64)
+    keys = np.where(base < 10, base, base + (np.int64(1) << 40))
+    keys[0] = -(np.int64(1) << 52)       # stretch the span, negative too
+    vals = rng.integers(-100, 100, n).astype(np.int64)
+    t = Table.from_dict({"k": keys, "v": vals})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s")]).compact()
+    g = pd.DataFrame({"k": keys, "v": vals}).groupby("k", sort=True)["v"]
+    np.testing.assert_array_equal(np.asarray(out["k"].data),
+                                  g.sum().index.to_numpy())
+    np.testing.assert_array_equal(np.asarray(out["s"].data),
+                                  g.sum().to_numpy())
+
+
+def test_groupby_i32_keys_static_fold(rng):
+    """Exactly-32-bit key fields with no flag bits: the first payload
+    statically rides the key word's free low half (1-operand sort).
+    With null keys a drop bit pushes the fields to 33 bits, so that
+    shape takes the plain path — both must match pandas."""
+    n = 600
+    keys = rng.integers(-1000, 1000, n).astype(np.int32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    t = Table.from_dict({"k": keys, "v": vals})
+    out = ops.groupby(t, ["k"], [("v", "sum", "s")]).compact()
+    g = pd.DataFrame({"k": keys, "v": vals}).groupby(
+        "k", sort=True)["v"].sum()
+    np.testing.assert_allclose(
+        np.asarray(out["s"].data).astype(np.float64),
+        g.to_numpy(), rtol=1e-5)
+
+    knull = rng.random(n) < 0.15
+    t2 = Table.from_dict({"k": keys, "v": vals}, nulls={"k": knull})
+    out2 = ops.groupby(t2, ["k"], [("v", "sum", "s")]).compact()
+    df = pd.DataFrame({"k": np.where(knull, np.nan, keys), "v": vals})
+    g2 = df.groupby("k", sort=True)["v"].sum()
+    np.testing.assert_allclose(
+        np.asarray(out2["s"].data)[:len(g2)].astype(np.float64),
+        g2.to_numpy(), rtol=1e-5)
+
+
 def test_count_distinct(rng):
     keys = rng.integers(0, 23, 500).astype(np.int32)
     t = Table.from_dict({"k": keys})

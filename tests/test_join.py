@@ -67,6 +67,26 @@ def test_join_with_nulls(how, rng):
 
 
 @pytest.mark.parametrize("how", ["inner", "left", "full"])
+def test_join_i64_keys_narrow_and_wide_range(how, rng):
+    """64-bit keys: narrow runtime range takes the compressed 1-word
+    sort, a >2^32 span takes the general 2-operand branch — identical
+    results either way (the emit plan's dynamic key fold)."""
+    nl, nr = 150, 120
+    lnull = rng.random(nl) < 0.1
+    rnull = rng.random(nr) < 0.1
+    lk = rng.integers(0, 40, nl).astype(np.int64)
+    rk = rng.integers(0, 40, nr).astype(np.int64)
+    got = _run_join(lk, rk, lnull, rnull, how)
+    assert got == _oracle_join(lk, rk, lnull, rnull, how)
+    # same key structure, stretched past 2^32 (negative end too)
+    stretch = np.int64(1) << 40
+    lk2 = np.where(lk < 20, lk - stretch, lk + stretch)
+    rk2 = np.where(rk < 20, rk - stretch, rk + stretch)
+    got2 = _run_join(lk2, rk2, lnull, rnull, how)
+    assert got2 == _oracle_join(lk2, rk2, lnull, rnull, how)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "full"])
 def test_join_multi_column(how, rng):
     nl, nr = 120, 100
     lk = rng.integers(0, 8, (nl, 2)).astype(np.int64)
