@@ -271,25 +271,54 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity,
         return _fit_cap(l_c, cap), _fit_cap(r_c, cap)
 
     def general_path(_):
-        # Many-to-many expansion: scatter each emitting position's packed
-        # payload at its output offset, fill forward, rank = slot - base.
-        # Payload (p+1)<<2 packs into int32 when positions fit (the fast
-        # common case — native i32 scatter/cummax instead of x64-emulated
-        # i64); larger merges take the int64 flavor, so there is still no
-        # 2^29/2^31 shard ceiling (the reference's int32 cap,
-        # joining.cu:32-35). The choice is static (L is a shape).
-        pdt = jnp.int32 if (L + 2) < (1 << 29) else jnp.int64
-        p = jnp.arange(L, dtype=pdt)
-        payload = ((p + 1) << 2) | flag_bits.astype(pdt)
-        src = jnp.where(emit > 0, offsets, cap)      # cap = dropped (OOB)
-        inv0 = jnp.zeros((cap,), pdt).at[src].max(payload, mode="drop")
-        inv = engine.cummax(inv0)
+        # Many-to-many expansion: scatter each emitting position's data
+        # at its output offset, carry-fill forward (Pallas pair scans),
+        # rank = slot - base. TWO scatter words over the L sources:
+        #   w1 = (s_back+1) << 2 | flags   (s_back < 2^28 = _PACK_MAX)
+        #   w2 = run_lower + 1
+        # Scatters are the dominant cost of this path after the sort
+        # (measured v5e: 120 ms per 11M->40M i32 scatter vs 1.6-3 ms for
+        # the 40M Pallas fills; the round-4 formulation's two 40M-row
+        # GATHERS cost 300 ms each) — so everything per-slot derives
+        # from as few scattered words as possible.
+        # i32 words when row ids fit 28 bits (native scatters / Pallas
+        # expand); the int64 flavor keeps giant shards correct (no 2^28/
+        # 2^31 output ceiling — the reference's int32 cap, joining.cu:
+        # 32-35 — at the cost of XLA-lowered scatter+fills). Static.
+        wdt = (jnp.int32 if max(n, m, 1) < _PACK_MAX else jnp.int64)
         j = jnp.arange(cap, dtype=jnp.int32)
-        base = engine.cummax(jnp.where(inv0 > 0, j, -1))
-        rank = j - base
-        pj = jnp.maximum((inv >> 2) - 1, 0).astype(jnp.int32)
-        from_query = (inv & 2) != 0
-        matched = (inv & 1) != 0
+        from .pallas.expand import SENTINEL, expand_fill_pallas
+        if (wdt == jnp.int32 and cap < int(SENTINEL)
+                and (engine.use_pallas() or engine.pallas_interpret())):
+            # Pallas monotone expand-fill: compact the emitting sources
+            # to a dense (pos, words) list (compact2, ~3 ms at 11M),
+            # then ONE kernel pass over the output produces the filled
+            # w1 / run_lower / base words — replacing two XLA scatters
+            # (measured 120 ms each per 11M->40M word on v5e) + fills.
+            from .compaction import compact_arrays
+            w1s = ((s_back + 1) << 2) | flag_bits
+            (pos_c, w1_c, lo_c), n_src = compact_arrays(
+                [offsets, w1s, run_lower + 1], emit > 0)
+            pos_c = jnp.where(jnp.arange(L, dtype=jnp.int32) < n_src,
+                              pos_c, SENTINEL)
+            w1, lo_f, base = expand_fill_pallas(
+                pos_c, [w1_c, lo_c, pos_c], cap,
+                interpret=engine.pallas_interpret())
+            rank = j - base          # base=0 before the first source:
+            lo_j = lo_f - 1          # harmless, those slots emit -1/-1
+        else:
+            src = jnp.where(emit > 0, offsets, cap)  # cap = dropped OOB
+            w1s = ((s_back.astype(wdt) + 1) << 2) | flag_bits.astype(wdt)
+            w1_0 = jnp.zeros((cap,), wdt).at[src].max(w1s, mode="drop")
+            lo0 = jnp.zeros((cap,), jnp.int32).at[src].max(
+                run_lower + 1, mode="drop")
+            base = engine.cummax(jnp.where(w1_0 > 0, j, -1))
+            rank = j - base
+            w1 = last_valid_scan(w1_0 > 0, w1_0)[0]
+            lo_j = last_valid_scan(lo0 > 0, lo0)[0] - 1
+        from_query = (w1 & 2) != 0
+        matched = (w1 & 1) != 0
+        s_back_j = ((w1 >> 2) - 1).astype(jnp.int32)
 
         # Build permutation (sorted-build position → original build row)
         # from a small sort of the build side alone; stability makes it
@@ -304,10 +333,6 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity,
             build_perm = bsort[-1]
         else:
             build_perm = jnp.zeros((1,), jnp.int32)
-
-        # fused 2-wide row gather: (original row id, run lower) at p(j)
-        sb_lo = jnp.stack([s_back, run_lower], axis=1)[pj]
-        s_back_j, lo_j = sb_lo[:, 0], sb_lo[:, 1]
 
         r_sorted_pos = jnp.clip(lo_j + rank, 0, max(n - 1, 0))
         r_from_match = jnp.take(build_perm, r_sorted_pos)
