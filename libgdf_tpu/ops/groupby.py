@@ -165,7 +165,7 @@ def _groupby_impl(table: Table, key_names: Sequence[str],
     # either (atomicAdd aggregation, groupby_kernels.cuh:42-108, is
     # schedule-ordered). Unstable u64 sorts measure ~2.3x faster on v5e
     # and the sort is ~100% of groupby's steady-state time.
-    res = _fused_groupby_sort(operands, nk, fields, enc_keys)
+    res = _fused_groupby_sort(operands, nk, fields)
 
     s_words = list(res[:nk])
     offs, _ = bit_field_offsets([f[1] for f in fields])
@@ -288,7 +288,7 @@ def _p0_from_u64(w, dtype):
         (w & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32), dtype)
 
 
-def _fused_groupby_sort(operands, nk, fields, enc_keys):
+def _fused_groupby_sort(operands, nk, fields):
     """The groupby sort, folding the first payload into the key word.
 
     Sort-operand count dominates lax.sort cost on the VPU (PERF.md).

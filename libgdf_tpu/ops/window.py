@@ -64,29 +64,7 @@ def _windowed(vals, valid, seg_start, preceding: int, op: str):
     v = jnp.where(valid, vals.astype(jnp.float64), 0.0)
 
     if op in ("sum", "count", "avg", "var", "stddev"):
-        csum = engine.cumsum(v)
-        csq = engine.cumsum(v * v)
-        ccnt = engine.cumsum(w)
-
-        def rangesum(c):
-            lo_excl = jnp.where(frame_lo > 0, jnp.take(c, frame_lo - 1,
-                                                       mode="clip"), 0.0)
-            lo_excl = jnp.where(frame_lo > 0, lo_excl, 0.0)
-            return c - lo_excl
-
-        s, sq, cnt = rangesum(csum), rangesum(csq), rangesum(ccnt)
-        if op == "sum":
-            return s, cnt > 0
-        if op == "count":
-            return cnt, jnp.ones_like(cnt, jnp.bool_)
-        safe = jnp.maximum(cnt, 1.0)
-        mean = s / safe
-        if op == "avg":
-            return mean, cnt > 0
-        varv = jnp.maximum(sq / safe - mean * mean, 0.0)
-        if op == "var":
-            return varv, cnt > 0
-        return jnp.sqrt(varv), cnt > 0
+        return _sum_family_over(v, w, frame_lo, op)
 
     # min/max.
     ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf, jnp.float64)
@@ -141,6 +119,35 @@ def _floor_log2(x):
     return r
 
 
+def _sum_family_over(v, w, frame_lo, op: str):
+    """sum/count/avg/var/stddev over per-row frames [frame_lo[i], i]:
+    prefix sums + one gather at frame_lo-1. Shared by the ROW path
+    (uniform frames clipped at partition starts) and the RANGE path
+    (value-searched frames)."""
+    csum = engine.cumsum(v)
+    csq = engine.cumsum(v * v)
+    ccnt = engine.cumsum(w)
+
+    def rangesum(c):
+        lo_excl = jnp.where(frame_lo > 0,
+                            jnp.take(c, frame_lo - 1, mode="clip"), 0.0)
+        return c - lo_excl
+
+    s, sq, cnt = rangesum(csum), rangesum(csq), rangesum(ccnt)
+    if op == "sum":
+        return s, cnt > 0
+    if op == "count":
+        return cnt, jnp.ones_like(cnt, jnp.bool_)
+    safe = jnp.maximum(cnt, 1.0)
+    mean = s / safe
+    if op == "avg":
+        return mean, cnt > 0
+    varv = jnp.maximum(sq / safe - mean * mean, 0.0)
+    if op == "var":
+        return varv, cnt > 0
+    return jnp.sqrt(varv), cnt > 0
+
+
 def _windowed_range(vals, valid, seg_start, frame_lo, op: str):
     """Reduction over the data-dependent frame [frame_lo[i], i] (RANGE
     frames: frame_lo from a value search, variable length per row).
@@ -156,33 +163,16 @@ def _windowed_range(vals, valid, seg_start, frame_lo, op: str):
     v = jnp.where(valid, vals.astype(jnp.float64), 0.0)
 
     if op in ("sum", "count", "avg", "var", "stddev"):
-        csum = engine.cumsum(v)
-        csq = engine.cumsum(v * v)
-        ccnt = engine.cumsum(w)
-
-        def rangesum(c):
-            lo_excl = jnp.where(frame_lo > 0,
-                                jnp.take(c, frame_lo - 1, mode="clip"), 0.0)
-            return c - lo_excl
-
-        s, sq, cnt = rangesum(csum), rangesum(csq), rangesum(ccnt)
-        if op == "sum":
-            return s, cnt > 0
-        if op == "count":
-            return cnt, jnp.ones_like(cnt, jnp.bool_)
-        safe = jnp.maximum(cnt, 1.0)
-        mean = s / safe
-        if op == "avg":
-            return mean, cnt > 0
-        varv = jnp.maximum(sq / safe - mean * mean, 0.0)
-        if op == "var":
-            return varv, cnt > 0
-        return jnp.sqrt(varv), cnt > 0
+        return _sum_family_over(v, w, frame_lo, op)
 
     ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf, jnp.float64)
     vop = jnp.minimum if op == "min" else jnp.maximum
     cur = jnp.where(valid, vals.astype(jnp.float64), ident)
-    nlev = max((max(n - 1, 1)).bit_length(), 1)
+    # levels 0..floor(log2(n)) inclusive: a frame can span the whole
+    # partition, so K reaches log2(n) when n is a power of two — one
+    # level fewer (the round-5 review catch) made the flat take read
+    # past the table and return NaN extrema for full-span frames.
+    nlev = max(n.bit_length(), 1)
     levels, hlevels = [cur], [w]
     g, gh = cur, w
     for k in range(nlev - 1):
@@ -235,6 +225,8 @@ def window_function(table: Table, value_name: str, reduction: str,
                 "RANGE frames need exactly one order_by column")
         require(preceding is not None, GDFStatus.GDF_INVALID_API_CALL,
                 "RANGE frames need a numeric `preceding` delta")
+        require(float(preceding) >= 0, GDFStatus.GDF_INVALID_API_CALL,
+                "RANGE preceding must be >= 0")
     n = table.capacity
     require(n > 0, GDFStatus.GDF_DATASET_EMPTY)
     col = table.column(value_name)
@@ -283,8 +275,12 @@ def window_function(table: Table, value_name: str, reduction: str,
         if jnp.issubdtype(ocol.data.dtype, jnp.floating):
             q = o_sorted - jnp.asarray(preceding, o_sorted.dtype)
         else:
+            # integer order key: o_j >= o_i - delta  <=>
+            # o_j >= o_i - floor(delta)  (delta >= 0), overflow-clipped
+            import math
             info = jnp.iinfo(ocol.data.dtype)
-            q64 = o_sorted.astype(jnp.int64) - jnp.int64(preceding)
+            q64 = (o_sorted.astype(jnp.int64)
+                   - jnp.int64(math.floor(preceding)))
             q = jnp.clip(q64, info.min, info.max).astype(o_sorted.dtype)
         enc_q = radix_encode(q, True)
         enc_o = radix_encode(o_sorted, True)

@@ -175,7 +175,12 @@ def collect(st: ShardedTable) -> Table:
     return table_concat(parts)
 
 
-_MAP_SHARDS_CACHE: dict = {}
+from collections import OrderedDict
+
+_MAP_SHARDS_CACHE: OrderedDict = OrderedDict()
+_MAP_SHARDS_CACHE_MAX = 64   # LRU bound: callers that pass fresh
+#                              closures per call (dist_join's body etc.)
+#                              must not pin compiled programs forever
 
 
 def map_shards(mesh: Mesh, fn: Callable[..., Table], *sts: ShardedTable,
@@ -197,7 +202,9 @@ def map_shards(mesh: Mesh, fn: Callable[..., Table], *sts: ShardedTable,
     a fresh lambda per call) to benefit."""
     key = (fn, mesh, axis_name, len(sts))
     body = _MAP_SHARDS_CACHE.get(key)
-    if body is None:
+    if body is not None:
+        _MAP_SHARDS_CACHE.move_to_end(key)
+    else:
         @jax.jit
         @partial(jax.shard_map, mesh=mesh,
                  in_specs=(P(axis_name),) * len(sts),
@@ -219,6 +226,8 @@ def map_shards(mesh: Mesh, fn: Callable[..., Table], *sts: ShardedTable,
                                 overflow=jnp.reshape(ov, (1,)))
 
         _MAP_SHARDS_CACHE[key] = body
+        while len(_MAP_SHARDS_CACHE) > _MAP_SHARDS_CACHE_MAX:
+            _MAP_SHARDS_CACHE.popitem(last=False)
     return body(*sts)
 
 
@@ -600,13 +609,13 @@ def plan_salted_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
             "plan_salted_join plans eagerly (skew detection + exact slot "
             "sizing need concrete counts) — call it outside jit, then "
             "pass the plan to dist_join_salted inside jit") from None
-    hotj = jnp.asarray(hot)
-
-    def l_salt(t: Table) -> jax.Array:
-        bins = _bins_of(t, left_on, num_bins)
-        is_hot = jnp.take(hotj, bins)
-        spread = jnp.arange(t.capacity, dtype=jnp.int32) % nshards
-        return jnp.where(is_hot, spread, 0)
+    # Construct the plan FIRST (capacities filled below) so the sizing
+    # pre-pass salts with the exact same plan.left_salt the execution
+    # body will use — a second copy of the salt logic could drift and
+    # silently re-open the dropped-rows hazard the sizing prevents.
+    plan = SaltedJoinPlan(mesh, left_on, right_on, how, hot, 1, 1, 1,
+                          num_bins, axis_name)
+    hotj = plan.hot
 
     # Exact loss-proof sizing pre-pass: max slot need over
     #   - the salted LEFT shuffle,
@@ -621,7 +630,7 @@ def plan_salted_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
         lt = lst.table.with_num_rows(lst.counts[0])
         rt = rst.table.with_num_rows(rst.counts[0])
         l_need = jnp.max(dest_sizes(lt, left_on, axis_name,
-                                    salt=l_salt(lt)))
+                                    salt=plan.left_salt(lt)))
         bins = _bins_of(rt, right_on, num_bins)
         is_hot = jnp.logical_and(jnp.take(hotj, bins), rt.live_mask())
         # cold destination sizes: histogram over live & !hot rows
@@ -654,9 +663,10 @@ def plan_salted_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     if out_capacity_per_shard is None:
         out_capacity_per_shard = 2 * (lps + rps) + nshards * \
             hot_capacity_per_shard
-    return SaltedJoinPlan(mesh, left_on, right_on, how, hot,
-                          slot_capacity, hot_capacity_per_shard,
-                          out_capacity_per_shard, num_bins, axis_name)
+    plan.slot_capacity = int(slot_capacity)
+    plan.hot_capacity_per_shard = int(hot_capacity_per_shard)
+    plan.out_capacity_per_shard = int(out_capacity_per_shard)
+    return plan
 
 
 def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
@@ -688,6 +698,22 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
             slot_capacity=slot_capacity,
             hot_capacity_per_shard=hot_capacity_per_shard,
             num_bins=num_bins, threshold=threshold, axis_name=axis_name)
+    else:
+        # the plan OWNS keys/how/capacities — a mismatched explicit
+        # argument would otherwise be silently ignored (round-5 review)
+        require(tuple(left_on) == plan.left_on
+                and tuple(right_on) == plan.right_on
+                and how == plan.how and axis_name == plan.axis_name,
+                GDFStatus.GDF_INVALID_API_CALL,
+                "dist_join_salted: keys/how/axis disagree with the plan")
+        require(slot_capacity in (None, plan.slot_capacity)
+                and hot_capacity_per_shard in (
+                    None, plan.hot_capacity_per_shard)
+                and out_capacity_per_shard in (
+                    None, plan.out_capacity_per_shard),
+                GDFStatus.GDF_INVALID_API_CALL,
+                "dist_join_salted: explicit capacities disagree with "
+                "the plan's (re-plan instead)")
     out = map_shards(mesh, plan.body(), left, right,
                      axis_name=plan.axis_name)
     out = _flag_count_overflow(out, plan.out_capacity_per_shard)

@@ -390,6 +390,29 @@ def test_window_range_frame_floats_no_partition(rng):
         np.testing.assert_allclose(got[i], v[mask].sum(), rtol=1e-9)
 
 
+def test_window_range_full_span_power_of_two(rng):
+    """Regression (round-5 review): with n a power of two and a delta
+    covering the whole partition, the per-row sparse-table level reaches
+    log2(n) — one level short returned NaN for the last row."""
+    n = 8
+    order = np.arange(n, dtype=np.int32)
+    v = np.asarray([5, 1, 9, 4, 2, 8, 0, 3], np.float64)
+    t = Table.from_dict({"o": order, "v": v})
+    out = ops.window_function(t, "v", "min", preceding=100,
+                              order_by=["o"], frame="range")
+    got = np.asarray(out.data)
+    exp = np.minimum.accumulate(v)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_window_range_rejects_negative_delta():
+    t = Table.from_dict({"o": np.arange(4, dtype=np.int32),
+                         "v": np.arange(4, dtype=np.float64)})
+    with pytest.raises(GDFError):
+        ops.window_function(t, "v", "sum", preceding=-5,
+                            order_by=["o"], frame="range")
+
+
 def test_window_range_requires_single_order_key():
     t = Table.from_dict({"o": np.arange(4, dtype=np.int32),
                          "o2": np.arange(4, dtype=np.int32),
