@@ -206,7 +206,7 @@ def map_shards(mesh: Mesh, fn: Callable[..., Table], *sts: ShardedTable,
         _MAP_SHARDS_CACHE.move_to_end(key)
     else:
         @jax.jit
-        @partial(jax.shard_map, mesh=mesh,
+        @partial(jax.shard_map, mesh=mesh, check_vma=False,
                  in_specs=(P(axis_name),) * len(sts),
                  out_specs=P(axis_name))
         def body(*locals_):
@@ -296,7 +296,7 @@ def exact_slot_capacity(mesh: Mesh, sides, axis_name: str = DEFAULT_AXIS,
     sts = [s[0] for s in sides]
 
     @jax.jit
-    @partial(jax.shard_map, mesh=mesh,
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(axis_name),) * len(sts), out_specs=P())
     def run(*locals_):
         caps = []
@@ -346,7 +346,8 @@ def exact_groupby_slot_capacity(mesh: Mesh, st: ShardedTable,
     plan = _AggPlan(aggs)
 
     @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name),),
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(axis_name),),
              out_specs=P())
     def sized(stl):
         t = stl.table.with_num_rows(stl.counts[0])
@@ -388,7 +389,8 @@ def dist_groupby(mesh: Mesh, st: ShardedTable, key_names: Sequence[str],
     if pre_aggregate:
         # size by post-combine counts: run the combiner in the pre-pass
         @jax.jit
-        @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name),),
+        @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(axis_name),),
                  out_specs=P())
         def sized(stl):
             t = stl.table.with_num_rows(stl.counts[0])
@@ -624,7 +626,7 @@ def plan_salted_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     from .shuffle import dest_sizes
 
     @jax.jit
-    @partial(jax.shard_map, mesh=mesh,
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(P(axis_name), P(axis_name)), out_specs=(P(), P()))
     def sizing(lst, rst):
         lt = lst.table.with_num_rows(lst.counts[0])
@@ -793,7 +795,8 @@ def detect_skew(mesh: Mesh, st: ShardedTable, key_names,
     nbins = num_bins or int(mesh.devices.size)
 
     @jax.jit
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis_name),
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=P(axis_name),
              out_specs=P())
     def run(stl: ShardedTable):
         t = stl.table.with_num_rows(stl.counts[0])
