@@ -8,12 +8,17 @@ multi-col sort, "perform windowed functions here"). This module finishes
 the design the sketch describes, TPU-natively:
 
   1. partition columns → row hash (the sketch's gpu_hash_columns step);
-  2. ONE stable lax.sort by (partition id, order keys) — the sketch's
-     backwards-stable-sort plan, as a single fused multi-key sort;
+  2. ONE unstable lax.sort over minimal bit-packed u64 key words
+     (partition hash | order encodings | row index in the low bits —
+     the index gives stability AND the permutation) with the value and
+     validity columns riding as payload operands — no gathers (the
+     sketch's backwards-stable-sort plan, on the ops/engine.py cost
+     model);
   3. windowed reduction = cumulative-scan difference over the sorted
      frame, segment-reset at partition starts — O(n), no per-window
      loops, pure VPU;
-  4. scatter results back to the original row order.
+  4. back to input order via a second payload sort on the row index
+     (sorts carry payloads ~8x cheaper than scatter/gather on TPU).
 
 Supported reductions mirror window_reduction_type: SUM MIN MAX COUNT AVG
 STDDEV VAR; window_function_type GDF_WINDOW_ROW (rows-preceding frames).
@@ -32,6 +37,7 @@ from ..core.table import Table
 from .hashing import hash_columns
 from .sort import radix_encode
 from . import engine
+from .engine import multi_sort
 
 WINDOW_REDUCTIONS = ("sum", "min", "max", "count", "avg", "stddev", "var")
 
@@ -66,14 +72,16 @@ def _windowed(vals, valid, seg_start, preceding: int, op: str):
     if op in ("sum", "count", "avg", "var", "stddev"):
         return _sum_family_over(v, w, frame_lo, op)
 
-    # min/max.
-    ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf, jnp.float64)
-    cur = jnp.where(valid, vals.astype(jnp.float64), ident)
+    # min/max: EXACT in the input dtype — the ladders run natively
+    # (f32/i32 VPU words) instead of x64-emulated f64, which was most
+    # of the steady cost at 2M on chip; only the final output casts.
+    ident, cur = _minmax_ident(vals, valid, op)
+    hv = valid.astype(jnp.int32)                 # any-valid ladder (OR)
     if preceding >= n:
         # unbounded-preceding (running) frame: one segment-reset scan
         run = _segmented_running(cur, seg_start, op)
-        has = _segmented_running(w, seg_start, "sum") > 0
-        return run, has
+        has = _segmented_running(hv, seg_start, "sum") > 0
+        return run.astype(jnp.float64), has
     # bounded frame, O(n log preceding): doubling ladder of partition-
     # clipped shifted extrema (sparse-table rows), then the length-p
     # window [frame_lo, i] is the op of TWO overlapping 2^K blocks,
@@ -84,22 +92,34 @@ def _windowed(vals, valid, seg_start, preceding: int, op: str):
     vop = jnp.minimum if op == "min" else jnp.maximum
     K = max(preceding.bit_length() - 1, 0)       # 2^K <= preceding
     g = cur
-    gh = w                                       # any-valid ladder (OR)
+    gh = hv
     for k in range(K):
         s = 1 << k
         g2 = _shift_down(g, s, ident)
-        gh2 = _shift_down(gh, s, 0.0)
+        gh2 = _shift_down(gh, s, 0)
         in_part = idx - s >= part_first
         g = vop(g, jnp.where(in_part, g2, ident))
-        gh = jnp.maximum(gh, jnp.where(in_part, gh2, 0.0))
+        gh = jnp.maximum(gh, jnp.where(in_part, gh2, 0))
     # block 2 ends at j = i - preceding + 2^K (covers [i-p+1, j]); valid
     # when j >= frame_lo (same partition guaranteed: frame_lo >= first)
     shift2 = preceding - (1 << K)
     j_ok = idx - shift2 >= frame_lo
     red = vop(g, jnp.where(j_ok, _shift_down(g, shift2, ident), ident))
-    has = jnp.maximum(gh, jnp.where(j_ok, _shift_down(gh, shift2, 0.0),
-                                    0.0)) > 0
-    return red, has
+    has = jnp.maximum(gh, jnp.where(j_ok, _shift_down(gh, shift2, 0),
+                                    0)) > 0
+    return red.astype(jnp.float64), has
+
+
+def _minmax_ident(vals, valid, op):
+    """(identity scalar, invalid-masked values) in the INPUT dtype —
+    min/max are exact there; f64 upcasting is deferred to the output."""
+    dt = vals.dtype
+    if jnp.issubdtype(dt, jnp.floating):
+        ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf, dt)
+    else:
+        info = jnp.iinfo(dt)
+        ident = jnp.asarray(info.max if op == "min" else info.min, dt)
+    return ident, jnp.where(valid, vals, ident)
 
 
 def _shift_down(x, s: int, fill):
@@ -165,22 +185,22 @@ def _windowed_range(vals, valid, seg_start, frame_lo, op: str):
     if op in ("sum", "count", "avg", "var", "stddev"):
         return _sum_family_over(v, w, frame_lo, op)
 
-    ident = jnp.asarray(jnp.inf if op == "min" else -jnp.inf, jnp.float64)
     vop = jnp.minimum if op == "min" else jnp.maximum
-    cur = jnp.where(valid, vals.astype(jnp.float64), ident)
+    ident, cur = _minmax_ident(vals, valid, op)
+    hv = valid.astype(jnp.int32)
     # levels 0..floor(log2(n)) inclusive: a frame can span the whole
     # partition, so K reaches log2(n) when n is a power of two — one
     # level fewer (the round-5 review catch) made the flat take read
     # past the table and return NaN extrema for full-span frames.
     nlev = max(n.bit_length(), 1)
-    levels, hlevels = [cur], [w]
-    g, gh = cur, w
+    levels, hlevels = [cur], [hv]
+    g, gh = cur, hv
     for k in range(nlev - 1):
         s = 1 << k
         in_part = idx - s >= part_first
         g = vop(g, jnp.where(in_part, _shift_down(g, s, ident), ident))
-        gh = jnp.maximum(gh, jnp.where(in_part, _shift_down(gh, s, 0.0),
-                                       0.0))
+        gh = jnp.maximum(gh, jnp.where(in_part, _shift_down(gh, s, 0),
+                                       0))
         levels.append(g)
         hlevels.append(gh)
     gs = jnp.stack(levels)          # (nlev, n)
@@ -190,7 +210,7 @@ def _windowed_range(vals, valid, seg_start, frame_lo, op: str):
     flat_i = K * n + idx
     flat_j = K * n + (frame_lo + (1 << K) - 1)
     red = vop(jnp.take(gs.reshape(-1), flat_i),
-              jnp.take(gs.reshape(-1), flat_j))
+              jnp.take(gs.reshape(-1), flat_j)).astype(jnp.float64)
     has = jnp.maximum(jnp.take(ghs.reshape(-1), flat_i),
                       jnp.take(ghs.reshape(-1), flat_j)) > 0
     return red, has
@@ -233,28 +253,55 @@ def window_function(table: Table, value_name: str, reduction: str,
 
     # 1. partition id (hash of partition columns — windowedops.cu:72-81)
     operands = []
+    # ONE packed unstable sort, engine-cost-model style (ops/engine.py):
+    # partition hash + order encodings + row index bit-pack into minimal
+    # u64 words (index-in-low-bits = stability + the permutation), and
+    # the value/validity columns ride as PAYLOAD operands — no gathers.
+    # Keys are recovered from the sorted words (unpack/decode), and the
+    # scatter-back becomes a second payload sort on the row index.
+    # (Round-4 shape was a stable 3-operand sort + 2 gathers + 2
+    # scatters — each gather/scatter costs ~8x its sort-payload ride.)
+    from .sort import bit_field_offsets, pack_bit_fields, radix_decode, \
+        unpack_bit_field
+    fields = []
     if partition_by:
         ph = hash_columns([table.column(c) for c in partition_by])
-        operands.append(ph)
-    # 2. order keys
+        fields.append((ph, 32))
+    enc_bits = []
     for name in order_by:
         c = table.column(name)
-        operands.append(radix_encode(c.data, True))
-    iota = jnp.arange(n, dtype=jnp.int32)
-    if operands:
-        sorted_ops = jax.lax.sort(tuple(operands) + (iota,),
-                                  num_keys=len(operands), is_stable=True)
-        perm = sorted_ops[-1]
-        sorted_part = sorted_ops[0] if partition_by else None
+        enc = radix_encode(c.data, True)
+        enc_bits.append(enc.dtype.itemsize * 8)
+        fields.append((enc, enc_bits[-1]))
+    iota_bits = max(1, (max(n - 1, 1)).bit_length())
+    payloads = [col.data]
+    has_valid = col.valid is not None or table.num_rows is not None
+    if has_valid:
+        v0 = (jnp.ones((n,), jnp.bool_) if col.valid is None
+              else col.valid)
+        if table.num_rows is not None:
+            v0 = jnp.logical_and(v0, table.live_mask())
+        payloads.append(v0)
+    if fields:
+        words = pack_bit_fields(fields, iota_bits=iota_bits, n=n)
+        nk = len(words)
+        res = multi_sort(tuple(words) + tuple(payloads), num_keys=nk,
+                         stable=False)
+        s_words = list(res[:nk])
+        offs, _ = bit_field_offsets([f[1] for f in fields])
+        perm = (res[nk - 1] & jnp.uint64((1 << iota_bits) - 1)).astype(
+            jnp.int32)
+        sorted_part = (unpack_bit_field(s_words, offs[0], 32)
+                       if partition_by else None)
+        vals = res[nk]
+        valid = (res[nk + 1] if has_valid
+                 else jnp.ones((n,), jnp.bool_))
     else:
-        perm = iota
+        perm = jnp.arange(n, dtype=jnp.int32)
         sorted_part = None
-
-    vals = jnp.take(col.data, perm)
-    valid = (jnp.ones((n,), jnp.bool_) if col.valid is None
-             else jnp.take(col.valid, perm))
-    if table.num_rows is not None:
-        valid = jnp.logical_and(valid, jnp.take(table.live_mask(), perm))
+        vals = payloads[0]
+        valid = (payloads[1] if has_valid
+                 else jnp.ones((n,), jnp.bool_))
 
     if sorted_part is not None:
         seg_start = jnp.concatenate([
@@ -266,12 +313,17 @@ def window_function(table: Table, value_name: str, reduction: str,
     if frame == "range":
         # frame_lo[i] = first row of i's partition with order value >=
         # o[i] - preceding: one lex search over the (partition, order)
-        # sort the rows already sit in. The query is encoded in VALUE
+        # sort the rows already sit in. The sorted order values DECODE
+        # from the key words (no gather); the query is encoded in VALUE
         # space (radix_encode is monotone) with overflow-clipped
         # subtraction for integer keys.
         from .join import lex_searchsorted
         ocol = table.column(order_by[0])
-        o_sorted = jnp.take(ocol.data, perm)
+        j0 = 1 if partition_by else 0
+        enc_o = unpack_bit_field(s_words, offs[j0], enc_bits[0])
+        if enc_bits[0] <= 32:
+            enc_o = enc_o.astype(jnp.uint32)
+        o_sorted = radix_decode(enc_o, ocol.data.dtype)
         if jnp.issubdtype(ocol.data.dtype, jnp.floating):
             q = o_sorted - jnp.asarray(preceding, o_sorted.dtype)
         else:
@@ -282,8 +334,7 @@ def window_function(table: Table, value_name: str, reduction: str,
             q64 = (o_sorted.astype(jnp.int64)
                    - jnp.int64(math.floor(preceding)))
             q = jnp.clip(q64, info.min, info.max).astype(o_sorted.dtype)
-        enc_q = radix_encode(q, True)
-        enc_o = radix_encode(o_sorted, True)
+        enc_q = radix_encode(q, True).astype(enc_o.dtype)
         skeys = ([sorted_part, enc_o] if sorted_part is not None
                  else [enc_o])
         qkeys = ([sorted_part, enc_q] if sorted_part is not None
@@ -298,8 +349,9 @@ def window_function(table: Table, value_name: str, reduction: str,
         out_sorted, has = _windowed(vals, valid, seg_start, prec,
                                     reduction)
 
-    # 4. scatter back to input order
-    out = jnp.zeros((n,), jnp.float64).at[perm].set(out_sorted)
-    outv = jnp.zeros((n,), jnp.bool_).at[perm].set(has)
-    return Column(data=out, valid=outv, info=DtypeInfo(GDFDtype.FLOAT64),
+    # 4. back to input order: ONE payload sort on the row index (the
+    # engine's gather/scatter replacement), not two scatters.
+    back = multi_sort((perm, out_sorted, has), num_keys=1, stable=False)
+    return Column(data=back[1], valid=back[2],
+                  info=DtypeInfo(GDFDtype.FLOAT64),
                   name=f"{value_name}_{reduction}")
