@@ -97,12 +97,24 @@ def _flat_shift(x, s, rows, zero_fill):
 
 # Routing word layout: bits [0, FLAG_BASE) hold the element's routing
 # distance (= #dropped before it; 17 bits covers the largest augmented
-# block, (512+8)*128); bits [FLAG_BASE, 31) carry up to MAX_FLAGS bool
-# payload planes through the routing for free. Bit 31 stays clear so i32
-# compares behave.
+# block, (512+8)*128); bits [FLAG_BASE, 31) carry up to MAX_FLAGS bits
+# of payload FIELDS through the routing for free — bool validity planes
+# (1 bit each) and, when a lone data word's runtime value span fits the
+# spare bits, the range-compressed data itself (see fold_candidate in
+# ops/compaction.py). Bit 31 stays clear so i32 compares behave.
 FLAG_BASE = 17
 MAX_FLAGS = 14
 _FLAGS_MASK = ((1 << MAX_FLAGS) - 1) << FLAG_BASE
+
+
+def flag_offsets(flag_widths):
+    """Bit offset of each flag field above FLAG_BASE."""
+    offs, pos = [], FLAG_BASE
+    for wd in flag_widths:
+        offs.append(pos)
+        pos += wd
+    assert pos <= FLAG_BASE + MAX_FLAGS, flag_widths
+    return offs
 
 
 def _route_m(m, vals, rows, block):
@@ -134,12 +146,14 @@ def _route_m(m, vals, rows, block):
     return m, vals
 
 
-def _kernel(n, nblocks, ndata, nflag, keep_ref, *refs):
+def _kernel(n, nblocks, ndata, flag_widths, keep_ref, *refs):
     # refs layout: ndata input refs, nops output refs (ANY/HBM), count_ref
     # (SMEM), then scratch: nops staging VMEM, nops carry VMEM, state SMEM,
-    # dma sems — where nops = ndata + nflag (flag planes ride the keep
-    # word's high bits through routing but get their own staging/carry/
-    # output slots at indices ndata..nops).
+    # dma sems — where nops = ndata + len(flag_widths) (flag FIELDS ride
+    # the keep word's high bits through routing but get their own
+    # staging/carry/output slots at indices ndata..nops).
+    nflag = len(flag_widths)
+    foffs = flag_offsets(flag_widths)
     nops = ndata + nflag
     in_refs = refs[:ndata]
     out_refs = refs[ndata:ndata + nops]
@@ -173,7 +187,7 @@ def _kernel(n, nblocks, ndata, nflag, keep_ref, *refs):
     flat_in = b * BLOCK + (row - 1) * LANES + lane
     carry_row = (lane[0:1, :] < carry_len).astype(jnp.int32)
     for k in range(nflag):
-        carry_row = carry_row | (carry[ndata + k][:] << _i32(FLAG_BASE + k))
+        carry_row = carry_row | (carry[ndata + k][:] << _i32(foffs[k]))
     keep_aug = jnp.where(
         row == 0, carry_row,
         jnp.where(jnp.logical_and(row <= ROWS, flat_in < n),
@@ -206,7 +220,8 @@ def _kernel(n, nblocks, ndata, nflag, keep_ref, *refs):
     for w in range(ndata):
         staging[w][:] = vals[w]
     for k in range(nflag):
-        staging[ndata + k][:] = (m >> _i32(FLAG_BASE + k)) & 1
+        staging[ndata + k][:] = ((m >> _i32(foffs[k]))
+                                 & np.int32((1 << flag_widths[k]) - 1))
     for w in range(nops):
         pltpu.make_async_copy(
             staging[w], out_refs[w].at[pl.ds(base_row, rows_aug)],
@@ -307,7 +322,9 @@ def split_flag_words(words, descs, spans):
 
 
 def pack_keep_word(keep, words, flag_idx):
-    """keep bool + flag planes -> the packed routing word input."""
+    """keep bool + 1-bit flag planes -> the packed routing word input.
+    (Multi-bit fold fields are OR'd on top by the caller at
+    flag_offsets position len(flag_idx) — see ops/compaction.py.)"""
     kw = keep.astype(jnp.int32)
     for k, i in enumerate(flag_idx):
         kw = kw | (words[i].astype(jnp.int32) << (FLAG_BASE + k))
@@ -324,8 +341,8 @@ def reassemble_words(data_outs, flag_outs, data_idx, flag_idx, nwords):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("nflag", "interpret"))
-def _run(keep_packed, data_words, nflag, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("flag_widths", "interpret"))
+def _run(keep_packed, data_words, flag_widths, *, interpret=False):
     n = keep_packed.shape[0]
     npad = -(-n // BLOCK) * BLOCK
     nblocks = npad // BLOCK
@@ -333,7 +350,7 @@ def _run(keep_packed, data_words, nflag, *, interpret=False):
     words2 = [_pad_to(w, npad).reshape(nblocks * ROWS, LANES)
               for w in data_words]
     ndata = len(words2)
-    nops = ndata + nflag
+    nops = ndata + len(flag_widths)
     out_rows = nblocks * ROWS + ROWS + 16
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -352,7 +369,7 @@ def _run(keep_packed, data_words, nflag, *, interpret=False):
              pltpu.SemaphoreType.DMA((nops,))]),
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, n, nblocks, ndata, nflag),
+        functools.partial(_kernel, n, nblocks, ndata, flag_widths),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((out_rows, LANES), jnp.int32)
                    for _ in range(nops)] +
@@ -365,12 +382,15 @@ def _run(keep_packed, data_words, nflag, *, interpret=False):
     return word_outs, count
 
 
-def compact_pallas(arrays, keep, *, interpret: bool = False):
-    """Stable stream compaction of 1-D `arrays` by boolean `keep`.
-
-    Returns (compacted arrays — same shapes, survivors first, garbage
-    tail; count). Drop-in replacement for
-    ops/compaction.py::compact_arrays on TPU."""
+def compact_words_via(run, arrays, keep, interpret):
+    """Shared wrapper for both compaction kernels: word split, bool
+    planes into the routing word, and the DYNAMIC single-word fold —
+    when exactly one data word remains and its runtime value span fits
+    the spare flag bits, the range-compressed word ALSO rides the
+    routing word and the kernel routes ZERO data words (a lax.cond
+    picks at runtime; both kernel variants compile — the same
+    discipline as the groupby/join key folds). `run(kw, data_words,
+    flag_widths, interpret)` -> (outs, count)."""
     arrays = list(arrays)
     n = keep.shape[0]
     if n == 0:
@@ -382,12 +402,54 @@ def compact_pallas(arrays, keep, *, interpret: bool = False):
         descs.append(desc)
         words.extend(w)
     data_idx, flag_idx = split_flag_words(words, descs, spans)
+    base_widths = (1,) * len(flag_idx)
     kw = pack_keep_word(keep, words, flag_idx)
-    outs_run, count = _run(kw, [words[i] for i in data_idx],
-                           len(flag_idx), interpret=interpret)
-    word_outs = reassemble_words(outs_run[:len(data_idx)],
-                                 outs_run[len(data_idx):],
-                                 data_idx, flag_idx, len(words))
-    outs = [_from_words(word_outs[lo:hi], desc)
-            for (lo, hi), desc in zip(spans, descs)]
-    return outs, count
+    fold_bits = MAX_FLAGS - len(flag_idx)
+
+    def finish(data_outs, flag_outs, count):
+        word_outs = reassemble_words(list(data_outs), list(flag_outs),
+                                     data_idx, flag_idx, len(words))
+        outs = [_from_words(word_outs[lo:hi], desc)
+                for (lo, hi), desc in zip(spans, descs)]
+        return outs, count
+
+    if len(data_idx) == 1 and fold_bits >= 4:
+        wu = jax.lax.bitcast_convert_type(words[data_idx[0]], jnp.uint32)
+        lo = jnp.min(wu)
+        fits = (jnp.max(wu) - lo) < jnp.uint32(1 << fold_bits)
+        shift = FLAG_BASE + len(flag_idx)
+
+        def folded(_):
+            comp = jax.lax.bitcast_convert_type(
+                (wu - lo) << jnp.uint32(shift), jnp.int32)
+            outs_run, count = run(kw | comp, [],
+                                  base_widths + (fold_bits,),
+                                  interpret)
+            rec = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(outs_run[-1],
+                                             jnp.uint32) + lo, jnp.int32)
+            return (rec,) + tuple(outs_run[:len(flag_idx)]), count
+
+        def plain(_):
+            outs_run, count = run(kw, [words[data_idx[0]]], base_widths,
+                                  interpret)
+            return (outs_run[0],) + tuple(outs_run[1:]), count
+
+        (data0, *flag_outs), count = jax.lax.cond(fits, folded, plain, 0)
+        return finish([data0], flag_outs, count)
+
+    outs_run, count = run(kw, [words[i] for i in data_idx], base_widths,
+                          interpret)
+    return finish(outs_run[:len(data_idx)], outs_run[len(data_idx):],
+                  count)
+
+
+def compact_pallas(arrays, keep, *, interpret: bool = False):
+    """Stable stream compaction of 1-D `arrays` by boolean `keep`.
+
+    Returns (compacted arrays — same shapes, survivors first, garbage
+    tail; count). Drop-in replacement for
+    ops/compaction.py::compact_arrays on TPU."""
+    def run(kw, data_words, flag_widths, interp):
+        return _run(kw, data_words, flag_widths, interpret=interp)
+    return compact_words_via(run, arrays, keep, interpret)

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .compact import (FLAG_BASE, LANES, _ceil_log2, _cumsum, _flat_shift,
+                      flag_offsets,
                       _FLAGS_MASK, _from_words, _i32, _pad_to, _route_m,
                       _to_words, pack_keep_word, reassemble_words,
                       split_flag_words)
@@ -62,9 +63,11 @@ def _flat_rot_right_dyn(x, r):
     return jnp.where(lane >= rl, z1, z2)
 
 
-def _kernel(ndata, nflag, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref,
-            *refs):
+def _kernel(ndata, flag_widths, rows, q_ref, r_ref, cnt_ref, qn_ref,
+            keep_ref, *refs):
     block = rows * LANES
+    nflag = len(flag_widths)
+    foffs = flag_offsets(flag_widths)
     nops = ndata + nflag
     in_refs = refs[:ndata]
     out_refs = refs[ndata:ndata + nops]
@@ -91,7 +94,9 @@ def _kernel(ndata, nflag, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref,
                   _i32(0))
     vals = [in_refs[w][...] for w in range(ndata)]
     m, vals = _route_m(m, vals, rows, block)
-    vals = vals + [(m >> _i32(FLAG_BASE + k)) & 1 for k in range(nflag)]
+    vals = vals + [(m >> _i32(foffs[k]))
+                   & np.int32((1 << flag_widths[k]) - 1)
+                   for k in range(nflag)]
 
     # --- merge into the 2-block accumulator at [r, r+cnt) ---
     r = r_ref[b]
@@ -118,9 +123,10 @@ def _kernel(ndata, nflag, rows, q_ref, r_ref, cnt_ref, qn_ref, keep_ref,
             acc[w][...] = jnp.where(row2 < rows, a, _i32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("nflag", "interpret"))
-def _run(keep_packed, data_words, nflag, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("flag_widths", "interpret"))
+def _run(keep_packed, data_words, flag_widths, *, interpret=False):
     n = keep_packed.shape[0]
+    nflag = len(flag_widths)
     nops = len(data_words) + nflag
     # VMEM budget: each output word needs ~3x a (2*rows, LANES) i32
     # buffer (accumulator + double-buffered in/out); shrink the block
@@ -169,7 +175,7 @@ def _run(keep_packed, data_words, nflag, *, interpret=False):
         scratch_shapes=[pltpu.VMEM((2 * rows, LANES), jnp.int32)] * nops,
     )
     outs = pl.pallas_call(
-        functools.partial(_kernel, ndata, nflag, rows),
+        functools.partial(_kernel, ndata, flag_widths, rows),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nblocks * rows, LANES), jnp.int32)
                    for _ in range(nops)],
@@ -187,23 +193,8 @@ def compact_pallas2(arrays, keep, *, interpret: bool = False):
     Returns (compacted arrays — same shapes, survivors first, garbage
     tail; count). Drop-in replacement for
     ops/compaction.py::compact_arrays on TPU."""
-    arrays = list(arrays)
-    n = keep.shape[0]
-    if n == 0:
-        return arrays, jnp.int32(0)
-    words, descs, spans = [], [], []
-    for a in arrays:
-        w, desc = _to_words(a)
-        spans.append((len(words), len(words) + len(w)))
-        descs.append(desc)
-        words.extend(w)
-    data_idx, flag_idx = split_flag_words(words, descs, spans)
-    kw = pack_keep_word(keep, words, flag_idx)
-    outs_run, count = _run(kw, [words[i] for i in data_idx],
-                           len(flag_idx), interpret=interpret)
-    word_outs = reassemble_words(outs_run[:len(data_idx)],
-                                 outs_run[len(data_idx):],
-                                 data_idx, flag_idx, len(words))
-    outs = [_from_words(word_outs[lo:hi], desc)
-            for (lo, hi), desc in zip(spans, descs)]
-    return outs, count
+    from .compact import compact_words_via
+
+    def run(kw, data_words, flag_widths, interp):
+        return _run(kw, data_words, flag_widths, interpret=interp)
+    return compact_words_via(run, arrays, keep, interpret)

@@ -107,6 +107,46 @@ def test_compact_v1_flags_and_carry(rng):
         compact._run.clear_cache()
 
 
+@pytest.mark.parametrize("narrow", [True, False])
+def test_compact2_single_word_fold(rng, narrow):
+    """Dynamic single-word fold: a lone data word whose runtime span
+    fits the spare flag bits rides the routing word (zero data words);
+    a wide-range word takes the plain branch of the same cond."""
+    n = 2 * B + 41
+    base = 12345 if narrow else 0
+    hi = base + (200 if narrow else 2**31 - 1)
+    x = rng.integers(base, hi, n).astype(np.int32)
+    v = rng.random(n) < 0.6
+    keep = rng.random(n) < 0.5
+    (xo, vo), cnt = compact2.compact_pallas2(
+        [jnp.asarray(x), jnp.asarray(v)], jnp.asarray(keep),
+        interpret=True)
+    cnt = int(cnt)
+    assert cnt == int(keep.sum())
+    np.testing.assert_array_equal(np.asarray(xo)[:cnt], x[keep])
+    np.testing.assert_array_equal(np.asarray(vo)[:cnt], v[keep])
+
+
+def test_compact_v1_single_word_fold(rng):
+    from libgdf_tpu.ops.pallas import compact
+    mp = pytest.MonkeyPatch()
+    mp.setattr(compact, "ROWS", 8)
+    mp.setattr(compact, "BLOCK", 8 * 128)
+    compact._run.clear_cache()
+    try:
+        n = 3 * B + 9
+        x = rng.integers(100, 1100, n).astype(np.int32)  # span 1000: fold
+        keep = rng.random(n) < 0.4
+        (xo,), cnt = compact.compact_pallas(
+            [jnp.asarray(x)], jnp.asarray(keep), interpret=True)
+        cnt = int(cnt)
+        assert cnt == int(keep.sum())
+        np.testing.assert_array_equal(np.asarray(xo)[:cnt], x[keep])
+    finally:
+        mp.undo()
+        compact._run.clear_cache()
+
+
 def test_compact2_empty():
     (out,), cnt = compact2.compact_pallas2(
         [jnp.zeros((0,), jnp.int32)], jnp.zeros((0,), bool),
