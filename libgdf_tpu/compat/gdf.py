@@ -464,6 +464,38 @@ def gdf_order_by(input_columns, num_inputs=None, context=None,
     return Column.from_array(perm, name="indices")
 
 
+def gdf_window_function(value_column, reduction, frame,
+                        preceding=None, partition_columns=(),
+                        order_columns=()):
+    """≅ the contract gpu_window_function declared but never shipped
+    (src/windowedops.cu:46-148, compiled out — CMakeLists.txt:154; the
+    ABI enums window_function_type / window_reduction_type are
+    types.h:197-210). Accepts the ABI enum values or their names.
+
+    Returns a FLOAT64 result column aligned to the input row order."""
+    from ..core.dtypes import WindowFunctionType, WindowReductionType
+    red = WindowReductionType(reduction) if not isinstance(
+        reduction, str) else WindowReductionType[
+        f"GDF_WINDOW_{reduction.upper()}"]
+    frm = WindowFunctionType(frame) if not isinstance(frame, str) else \
+        WindowFunctionType[f"GDF_WINDOW_{frame.upper()}"]
+    red_name = red.name.replace("GDF_WINDOW_", "").lower()
+    frame_name = ("range" if frm == WindowFunctionType.GDF_WINDOW_RANGE
+                  else "rows")
+    cols = [value_column.with_name(value_column.name or "v")]
+    pnames, onames = [], []
+    for i, c in enumerate(partition_columns):
+        cols.append(c.with_name(c.name or f"p{i}"))
+        pnames.append(cols[-1].name)
+    for i, c in enumerate(order_columns):
+        cols.append(c.with_name(c.name or f"o{i}"))
+        onames.append(cols[-1].name)
+    t = Table.from_columns(cols)
+    return ops.window_function(t, cols[0].name, red_name,
+                               preceding=preceding, partition_by=pnames,
+                               order_by=onames, frame=frame_name)
+
+
 def gdf_filter(input_columns, value_tuple, num_inputs=None):
     """≅ gdf_filter (src/sqls_ops.cu:1401-1424): rows where EVERY column
     equals its value in the tuple (multi_col_filter,

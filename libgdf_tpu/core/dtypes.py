@@ -46,6 +46,27 @@ class TimeUnit(enum.IntEnum):
     ns = 4
 
 
+class WindowFunctionType(enum.IntEnum):
+    """types.h:197-200 `window_function_type`. Both frame kinds are
+    implemented (ops/window.py) — the reference declared them but left
+    the implementation unbuilt (windowedops.cu compiled out)."""
+
+    GDF_WINDOW_RANGE = 0
+    GDF_WINDOW_ROW = 1
+
+
+class WindowReductionType(enum.IntEnum):
+    """types.h:202-210 `window_reduction_type`."""
+
+    GDF_WINDOW_AVG = 0
+    GDF_WINDOW_SUM = 1
+    GDF_WINDOW_MAX = 2
+    GDF_WINDOW_MIN = 3
+    GDF_WINDOW_COUNT = 4
+    GDF_WINDOW_STDDEV = 5
+    GDF_WINDOW_VAR = 6
+
+
 # Physical JAX dtype backing each logical dtype.
 _PHYSICAL = {
     GDFDtype.INT8: jnp.int8,

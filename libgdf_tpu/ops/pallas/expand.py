@@ -13,6 +13,13 @@ and of any run-length decode. XLA's scatter costs ~120 ms per 11M->40M
 i32 word on v5e (serialized); this kernel replaces BOTH scatters and
 the fills with one ~10 ms pass over the output.
 
+≅ reference: the probe kernel's warp-cooperative output writing — each
+match emits into a shared output cache flushed at an atomicAdd global
+write index (libgdf/src/join/hash/join_kernels.cuh:259-455). On TPU
+there are no global atomics; the deterministic emit offsets come from
+the exact count pass, and this kernel is the atomics-free materializer
+of those offsets.
+
 Structure (mirror of compact2's offset-prefetched pipeline, but output
 blocks are single-visit and the INPUT block index is data-dependent):
 

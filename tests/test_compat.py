@@ -206,3 +206,27 @@ def test_error_introspection():
     assert gdf.gdf_error_get_name(GDFStatus.GDF_SUCCESS) == "GDF_SUCCESS"
     assert gdf.gdf_cuda_last_error() == 0
     assert "error" in gdf.gdf_cuda_error_string(1)
+
+
+def test_gdf_window_function_abi_enums(rng):
+    """The declared-but-never-shipped window ABI: enum values from
+    types.h:197-210 drive ops/window.py through the compat layer."""
+    import numpy as np
+    import pandas as pd
+    from libgdf_tpu.core.column import Column
+    from libgdf_tpu.core.dtypes import (WindowFunctionType,
+                                        WindowReductionType)
+    n = 200
+    v = rng.standard_normal(n)
+    o = rng.permutation(n).astype(np.int32)
+    out = gdf.gdf_window_function(
+        Column.from_array(v, name="v"),
+        WindowReductionType.GDF_WINDOW_SUM,
+        WindowFunctionType.GDF_WINDOW_ROW,
+        preceding=5,
+        order_columns=[Column.from_array(o, name="o")])
+    exp = (pd.Series(v[np.argsort(o)]).rolling(5, min_periods=1).sum()
+           .to_numpy())
+    # re-align: output is in input order; expectation in sorted order
+    got_sorted = np.asarray(out.data)[np.argsort(o)]
+    np.testing.assert_allclose(got_sorted, exp, rtol=1e-9)
