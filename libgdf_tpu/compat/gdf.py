@@ -482,18 +482,23 @@ def gdf_window_function(value_column, reduction, frame,
     red_name = red.name.replace("GDF_WINDOW_", "").lower()
     frame_name = ("range" if frm == WindowFunctionType.GDF_WINDOW_RANGE
                   else "rows")
-    cols = [value_column.with_name(value_column.name or "v")]
+    # reserved internal names: user column names (or defaults) colliding
+    # across the three roles would silently bind the wrong column
+    # (round-5 review)
+    cols = [value_column.with_name("__wv")]
     pnames, onames = [], []
     for i, c in enumerate(partition_columns):
-        cols.append(c.with_name(c.name or f"p{i}"))
+        cols.append(c.with_name(f"__wp{i}"))
         pnames.append(cols[-1].name)
     for i, c in enumerate(order_columns):
-        cols.append(c.with_name(c.name or f"o{i}"))
+        cols.append(c.with_name(f"__wo{i}"))
         onames.append(cols[-1].name)
     t = Table.from_columns(cols)
-    return ops.window_function(t, cols[0].name, red_name,
-                               preceding=preceding, partition_by=pnames,
-                               order_by=onames, frame=frame_name)
+    out = ops.window_function(t, "__wv", red_name,
+                              preceding=preceding, partition_by=pnames,
+                              order_by=onames, frame=frame_name)
+    return out.with_name(
+        f"{value_column.name or 'value'}_{red_name}")
 
 
 def gdf_filter(input_columns, value_tuple, num_inputs=None):

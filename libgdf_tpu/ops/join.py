@@ -297,8 +297,16 @@ def _join_indices_impl(left, right, left_on, right_on, how, out_capacity,
             # (measured 120 ms each per 11M->40M word on v5e) + fills.
             from .compaction import compact_arrays
             w1s = ((s_back + 1) << 2) | flag_bits
+            # offsets at/past cap (or wrapped negative past 2^31 on a
+            # >2^31-row overflow) clamp to SENTINEL BEFORE compaction:
+            # they are dropped slots either way, and un-clamped they
+            # would break the kernel's sorted-positions contract and
+            # corrupt the in-capacity prefix the XLA path preserves
+            # (round-5 review)
+            off_ok = jnp.logical_and(offsets >= 0, offsets < cap)
+            pos_src = jnp.where(off_ok, offsets, SENTINEL)
             (pos_c, w1_c, lo_c), n_src = compact_arrays(
-                [offsets, w1s, run_lower + 1], emit > 0)
+                [pos_src, w1s, run_lower + 1], emit > 0)
             pos_c = jnp.where(jnp.arange(L, dtype=jnp.int32) < n_src,
                               pos_c, SENTINEL)
             w1, lo_f, base = expand_fill_pallas(

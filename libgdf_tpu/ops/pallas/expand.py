@@ -234,4 +234,6 @@ def expand_fill_pallas(pos, words, cap: int, *, interpret: bool = False):
         return [jnp.zeros((0,), jnp.int32) for _ in words]
     if cap >= int(SENTINEL):
         raise ValueError("expand_fill_pallas: cap >= SENTINEL")
+    if not expand_fill_supported(words) or pos.dtype != jnp.int32:
+        raise TypeError("expand_fill_pallas wants int32 pos/words")
     return _run(pos, list(words), int(cap), interpret=interpret)

@@ -672,7 +672,7 @@ def plan_salted_join(mesh: Mesh, left: ShardedTable, right: ShardedTable,
 
 
 def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
-                     left_on, right_on, how: str = "inner",
+                     left_on, right_on, how: str | None = None,
                      out_capacity_per_shard: int | None = None,
                      slot_capacity: int | None = None,
                      hot_capacity_per_shard: int | None = None,
@@ -695,17 +695,20 @@ def dist_join_salted(mesh: Mesh, left: ShardedTable, right: ShardedTable,
     shard-map body."""
     if plan is None:
         plan = plan_salted_join(
-            mesh, left, right, left_on, right_on, how=how,
+            mesh, left, right, left_on, right_on,
+            how="inner" if how is None else how,
             out_capacity_per_shard=out_capacity_per_shard,
             slot_capacity=slot_capacity,
             hot_capacity_per_shard=hot_capacity_per_shard,
             num_bins=num_bins, threshold=threshold, axis_name=axis_name)
     else:
         # the plan OWNS keys/how/capacities — a mismatched explicit
-        # argument would otherwise be silently ignored (round-5 review)
+        # argument would otherwise be silently ignored; how=None means
+        # "the plan's" (so a left-join plan needs no re-passing)
         require(tuple(left_on) == plan.left_on
                 and tuple(right_on) == plan.right_on
-                and how == plan.how and axis_name == plan.axis_name,
+                and how in (None, plan.how)
+                and axis_name == plan.axis_name,
                 GDFStatus.GDF_INVALID_API_CALL,
                 "dist_join_salted: keys/how/axis disagree with the plan")
         require(slot_capacity in (None, plan.slot_capacity)
